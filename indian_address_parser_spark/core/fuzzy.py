@@ -1,0 +1,156 @@
+"""String similarity primitives used by the gazetteer and pair scoring.
+
+- ``indel_ratio`` reproduces rapidfuzz ``fuzz.ratio`` (normalized Indel
+  similarity: 100 * 2*LCS / (|a|+|b|)), which the reference gazetteer uses
+  (``src/address_parser/postprocessing/gazetteer.py:97-122``). rapidfuzz is
+  not installed in this environment, so a pure-Python LCS implementation
+  stands in; gazetteer strings are short (≤ ~30 chars) so O(n·m) is fine.
+- ``jaro_winkler`` follows the standard Winkler formulation (p=0.1, boost
+  threshold 0.7, prefix ≤ 4) which matches DuckDB's
+  ``jaro_winkler_similarity`` — verified in tests so Spark-side pandas-UDF
+  scores hash-match the DuckDB oracle.
+- ``soundex`` follows the American Soundex variant implemented by Spark's
+  ``F.soundex`` (verified against Spark in tests) so blocking keys computed
+  JVM-side and Python-side agree.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+
+def lcs_len(a: str, b: str) -> int:
+    """Length of the longest common subsequence (single-row DP)."""
+    if not a or not b:
+        return 0
+    if len(b) > len(a):
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        best = 0
+        for j, cb in enumerate(b):
+            if ca == cb:
+                v = prev[j] + 1
+            else:
+                v = cur[j] if cur[j] >= prev[j + 1] else prev[j + 1]
+            cur.append(v)
+        prev = cur
+    return prev[-1]
+
+
+def indel_ratio(a: str, b: str) -> float:
+    """rapidfuzz ``fuzz.ratio`` equivalent, in [0, 100]."""
+    total = len(a) + len(b)
+    if total == 0:
+        return 100.0
+    return 200.0 * lcs_len(a, b) / total
+
+
+def jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        # DuckDB scores any empty operand 0.0 (including both-empty).
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    a_flags = [False] * la
+    b_flags = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_flags[j] and a[i] == b[j]:
+                a_flags[i] = True
+                b_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(la):
+        if a_flags[i]:
+            while not b_flags[j]:
+                j += 1
+            if a[i] != b[j]:
+                transpositions += 1
+            j += 1
+    # rapidfuzz-cpp (and therefore DuckDB) floors the half-transposition
+    # count — keep integer division for oracle parity.
+    t = transpositions // 2
+    m = matches
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1, boost_threshold: float = 0.7) -> float:
+    """Jaro-Winkler similarity in [0, 1] (DuckDB-compatible parameters)."""
+    sim = jaro(a, b)
+    if sim > boost_threshold:
+        prefix = 0
+        for ca, cb in zip(a[:4], b[:4]):
+            if ca == cb:
+                prefix += 1
+            else:
+                break
+        sim += prefix * prefix_weight * (1.0 - sim)
+    return sim
+
+
+_SOUNDEX_CODE = {
+    'B': '1', 'F': '1', 'P': '1', 'V': '1',
+    'C': '2', 'G': '2', 'J': '2', 'K': '2', 'Q': '2', 'S': '2', 'X': '2', 'Z': '2',
+    'D': '3', 'T': '3',
+    'L': '4',
+    'M': '5', 'N': '5',
+    'R': '6',
+}
+_VOWEL_SEP = set('AEIOUY')
+
+
+def soundex(text: str) -> str:
+    """American Soundex, Spark ``F.soundex`` compatible.
+
+    Spark's implementation: non-letter first char → return input unchanged;
+    H/W are transparent (consonants separated only by H/W collapse); vowels
+    reset the previous code; output padded/truncated to 4 chars.
+    """
+    if not text:
+        return text
+    s = text.upper()
+    first = s[0]
+    if not ('A' <= first <= 'Z'):
+        return text
+    out = [first]
+    prev_code = _SOUNDEX_CODE.get(first, '')
+    for ch in s[1:]:
+        if not ('A' <= ch <= 'Z'):
+            # Spark skips non-letters without resetting the previous code.
+            continue
+        if ch in ('H', 'W'):
+            continue
+        code = _SOUNDEX_CODE.get(ch, '')
+        if code:
+            if code != prev_code:
+                out.append(code)
+                if len(out) == 4:
+                    break
+            prev_code = code
+        else:
+            prev_code = ''
+    return (''.join(out) + '000')[:4]
+
+
+_DIGIT_RUNS = re.compile(r'\d+')
+
+
+@lru_cache(maxsize=65536)
+def digit_signature(text: str) -> str:
+    """Concatenated digit runs, '/'-separated — the numeric identity of an
+    address component ('HOUSE NO 45/2' → '45/2'). Used as a hard feature in
+    pair scoring: two mentions of one household share digit signatures even
+    when surface forms differ."""
+    return '/'.join(_DIGIT_RUNS.findall(text))
