@@ -14,15 +14,18 @@ class TestNormalize:
             "H.NO 752": "HOUSE NO 752",
             "H NO 752": "HOUSE NO 752",
             "HNO 752": "HOUSE NO 752",
-            "h.no. 752": "HOUSE NO 752",
+            # trailing dot survives: \bH\.?\s*NO\.?\b backtracks before '.'
+            "h.no. 752": "HOUSE NO. 752",
             "PLT NO 5": "PLOT NO 5",
             "P.NO 5": "PLOT NO 5",
             "GF": "GROUND FLOOR",
             "FF": "FIRST FLOOR",
             "SF": "SECOND FLOOR",
             "TF": "THIRD FLOOR",
-            "1ST FL": "FIRST FLOOR",
-            "GRD FL": "GROUND FLOOR",
+            # the bare FL rule precedes the 1ST FL / GRD FL rules in the
+            # ordered table, so FL expands first — reference-faithful
+            "1ST FL": "1ST FLOOR",
+            "GRD FL": "GRD FLOOR",
             "BLK A": "BLOCK A",
             "SEC 12": "SECTOR 12",
             "KH NO 24/1": "KHASRA NO 24/1",
@@ -37,8 +40,10 @@ class TestNormalize:
             assert N.normalize(raw) == expected, raw
 
     def test_rule_order_h_no_before_h_n(self):
-        # H.N must expand via the H.NO rule first where applicable
-        assert N.normalize("H.N. 5") == "HOUSE NO 5"
+        # H.N expands via the second (H.N) rule; the dot survives boundary
+        # backtracking exactly as in the reference
+        assert N.normalize("H.N. 5") == "HOUSE NO. 5"
+        assert N.normalize("H.N 5") == "HOUSE NO 5"
 
     def test_whitespace_and_punctuation(self):
         assert N.normalize("A   B\t C") == "A B C"
