@@ -1,0 +1,134 @@
+"""Arrow-batched pandas UDFs wrapping the pure-Python core.
+
+All Python execution in the pipeline goes through these — never row-at-a-time
+``F.udf``. The core modules compile their regex tables at import, which under
+``spark.python.worker.reuse`` (default true) happens once per Python worker,
+mirroring the reference API's load-once lifespan (``api/main.py:39-62``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENTITY_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("label", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("confidence", T.DoubleType()),
+        ]
+    )
+)
+
+# Flattened accessor columns emitted per mention (reference ParsedAddress
+# computed fields + ER field mapping).
+FLAT_FIELDS = (
+    "house_no", "floor", "block", "gali", "colony", "area", "subarea",
+    "sector", "khasra", "pincode", "city", "state", "street", "locality",
+)
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("mention_seq", T.IntegerType()),
+        T.StructField("raw", T.StringType()),
+        T.StructField("normalized", T.StringType()),
+        T.StructField("entities", ENTITY_TYPE),
+    ]
+    + [T.StructField(f, T.StringType()) for f in FLAT_FIELDS]
+)
+
+
+def make_mention_extractor(candidate_fn=None):
+    """Build a ``mapInPandas`` function: pages(url, text) → mentions.
+
+    ``candidate_fn(text) -> list[str]`` splits a page into parse candidates;
+    the default treats each line that looks address-bearing (contains a PIN
+    or 'DELHI', length 5..500 per the reference's ParseRequest bounds,
+    ``schemas.py:167``) as one mention candidate.
+
+    This is a NARROW operator: no shuffle, Arrow batches in and out, one
+    Python worker per core. At 100 TB the scan + this map dominate wall
+    clock and scale linearly with executors.
+    """
+    from indian_address_parser_spark.core.parse import flatten_fields, parse_address
+
+    if candidate_fn is None:
+        candidate_fn = default_candidates
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if text is None:
+                    continue
+                for seq, raw in enumerate(candidate_fn(text)):
+                    normalized, spans = parse_address(raw)
+                    rec = {
+                        "url": url,
+                        "mention_seq": seq,
+                        "raw": raw,
+                        "normalized": normalized,
+                        "entities": [sp.as_dict() for sp in spans],
+                    }
+                    rec.update(flatten_fields(spans))
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MENTION_SCHEMA.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in MENTION_SCHEMA.fields}
+            )
+
+    return extract
+
+
+import re as _re
+
+_CAND_PIN = _re.compile(r"\b[1-9]\d{5}\b")
+
+
+def default_candidates(text: str) -> list[str]:
+    """Line-level mention candidate detector."""
+    out = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not (5 <= len(line) <= 500):
+            continue
+        if _CAND_PIN.search(line) or "DELHI" in line.upper() or "दिल्ली" in line:
+            out.append(line)
+    return out
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized Jaro-Winkler (DuckDB-parity, see core.fuzzy)."""
+    from indian_address_parser_spark.core.fuzzy import jaro_winkler
+
+    return pd.Series(
+        [
+            jaro_winkler(x, y) if x is not None and y is not None else None
+            for x, y in zip(a, b)
+        ],
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(T.StringType())
+def normalize_udf(text: pd.Series) -> pd.Series:
+    """P1 normalization as a standalone column op (used by oracle queries)."""
+    from indian_address_parser_spark.core.parse import preprocess
+
+    return text.map(lambda s: preprocess(s) if s is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def digit_signature_udf(text: pd.Series) -> pd.Series:
+    from indian_address_parser_spark.core.fuzzy import digit_signature
+
+    return text.map(lambda s: digit_signature(s) if s is not None else None)

@@ -1,0 +1,118 @@
+"""Transitive clustering: large-star / small-star connected components.
+
+DataFrame-only implementation of the alternating-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond" — the algorithm the
+north rule names). Converges in O(log n) rounds; components here are
+households (tiny diameter) so 2-4 rounds in practice.
+
+Scale notes:
+- Node ids stay STRINGS and are compared lexicographically — the algorithm
+  only needs a total order, and this keeps cluster ids equal to
+  ``min(mention_id)`` per component: deterministic across runs, partition
+  layouts and parallelism levels, and directly comparable to a SQL oracle.
+  (A 64-bit-hash id space would shave shuffle bytes at 10^12 scale at the
+  cost of a collision audit; the switch is local to this module.)
+- Every iteration ends in ``localCheckpoint`` to truncate lineage —
+  Catalyst does not optimize across iterations and an unchecked loop
+  re-executes the whole prefix each round (SURVEY.md §4.2.3). On a real
+  cluster pass ``checkpoint_dir`` to use reliable HDFS checkpoints instead.
+- Convergence detection is a single agg (count + xor of edge hashes), not
+  a full except() pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (hi > lo) pairs, deduped, no self-loops."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, m = min(N(u) ∪ {u})."""
+    nbrs = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each u over smaller neighbors N(u): link them all (and u) to the min."""
+    directed = _canonical(edges)  # u > v for every row
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = directed.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_links = mins.select("u", F.col("m").alias("v"))
+    return relinked.union(self_links)
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # bit_xor is overflow-free under ANSI mode (Spark 4 default)
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """edges(src, dst) → assignments(mention_id, cluster_id).
+
+    ``cluster_id`` is the lexicographic minimum mention_id of the component.
+    Nodes present only as singletons are NOT returned (no edges → caller
+    left-joins and coalesces to self, see ``attach_clusters``).
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    cur = _canonical(
+        edges.select(F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v"))
+    )
+    cur = cur.localCheckpoint(eager=True) if not checkpoint_dir else cur.checkpoint(eager=True)
+    prev_fp = _fingerprint(cur)
+
+    for _ in range(max_iter):
+        stepped = _canonical(_small_star(_large_star(cur)))
+        stepped = (
+            stepped.localCheckpoint(eager=True)
+            if not checkpoint_dir
+            else stepped.checkpoint(eager=True)
+        )
+        fp = _fingerprint(stepped)
+        cur = stepped
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # Converged star graph: every edge is (node > root). Roots map to themselves.
+    members = cur.select(F.col("u").alias("mention_id"), F.col("v").alias("cluster_id"))
+    roots = cur.select(F.col("v").alias("mention_id")).distinct().withColumn(
+        "cluster_id", F.col("mention_id")
+    )
+    return members.union(roots).distinct()
+
+
+def attach_clusters(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
+    """mentions ⟕ assignments; unmatched mentions become singleton clusters."""
+    out = mentions.join(assignments, "mention_id", "left")
+    return out.withColumn("cluster_id", F.coalesce("cluster_id", "mention_id"))

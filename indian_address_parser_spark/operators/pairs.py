@@ -1,0 +1,41 @@
+"""Candidate pair generation: self-join within blocks.
+
+``blocked ⋈ blocked ON join_key AND id_a < id_b`` — a shuffled self-join on
+the blocking key. AQE + skew-join handle residual partition skew; the
+quadratic-block problem is already handled upstream (secondary keys in
+``blocking.with_block_key``). Mentions whose key carries no information
+(empty pincode AND city AND locality) are excluded — they would form one
+giant junk block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Fields each side carries into scoring.
+PAIR_FIELDS = (
+    "house_no", "street", "locality", "city", "state", "pincode",
+    "block", "sector", "floor", "khasra",
+)
+
+
+def candidate_pairs(blocked: DataFrame) -> DataFrame:
+    """→ one row per unordered candidate pair with both sides' fields."""
+    usable = blocked.where(F.col("block_key") != "||")
+
+    cols = ["mention_id", "join_key", "block_key", *PAIR_FIELDS]
+    left = usable.select([F.col(c).alias(f"{c}_a") for c in cols])
+    right = usable.select([F.col(c).alias(f"{c}_b") for c in cols])
+
+    return (
+        left.join(
+            right,
+            (F.col("join_key_a") == F.col("join_key_b"))
+            & (F.col("mention_id_a") < F.col("mention_id_b")),
+        )
+        .drop("join_key_b")
+        .withColumnRenamed("join_key_a", "join_key")
+        .withColumnRenamed("block_key_a", "block_key")
+        .drop("block_key_b")
+    )

@@ -1,0 +1,87 @@
+"""Pairwise similarity scoring (vectorized, JVM-first).
+
+Weighted null-aware combination over the tagged fields (north star:
+"vectorized Jaro-Winkler/Levenshtein similarity over tagged fields
+(house_no, street, locality, city, state, pincode)").
+
+Design:
+- Levenshtein similarity (``F.levenshtein`` — JVM built-in, codegen) for
+  locality/city/state; Jaro-Winkler (Arrow pandas UDF, DuckDB-parity) for
+  house/street where prefix weighting helps.
+- Digit-bearing fields (house_no, street, sector, block, khasra) carry the
+  address identity in their digits: if the digit signatures differ the
+  field's similarity is 0 regardless of string closeness ("HOUSE NO 45" vs
+  "HOUSE NO 46" must NOT score 0.95).
+- Null-aware: a field contributes only when both sides are non-null; the
+  score renormalizes over the present weights. All of this is plain column
+  arithmetic — one narrow stage after the pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from indian_address_parser_spark.functions.udfs import jaro_winkler_udf
+
+# (field, weight, digit_guarded, use_jw)
+FIELD_WEIGHTS = (
+    ("house_no", 0.30, True, True),
+    ("street", 0.15, True, True),
+    ("locality", 0.25, False, False),
+    ("city", 0.10, False, False),
+    ("state", 0.03, False, False),
+    ("pincode", 0.12, False, False),
+    ("block", 0.05, True, False),
+    ("sector", 0.05, True, False),
+    ("khasra", 0.05, True, False),
+)
+
+DEFAULT_THRESHOLD = 0.80
+
+
+def _digits(col: Column) -> Column:
+    return F.regexp_replace(col, "[^0-9/]", "")
+
+
+def _lev_sim(a: Column, b: Column) -> Column:
+    ml = F.greatest(F.length(a), F.length(b))
+    return F.when(ml == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(a, b) / ml.cast("double")
+    )
+
+
+def field_similarity(field: str, digit_guarded: bool, use_jw: bool) -> Column:
+    a, b = F.col(f"{field}_a"), F.col(f"{field}_b")
+    base = jaro_winkler_udf(a, b) if use_jw else _lev_sim(a, b)
+    if digit_guarded:
+        base = F.when(_digits(a) == _digits(b), base).otherwise(F.lit(0.0))
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(base)
+
+
+def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+    """→ edges(src, dst, score) for pairs scoring ≥ threshold."""
+    sim_cols = []
+    weight_cols = []
+    for field, weight, guarded, use_jw in FIELD_WEIGHTS:
+        sim = field_similarity(field, guarded, use_jw)
+        sim_cols.append(F.coalesce(sim * F.lit(weight), F.lit(0.0)))
+        weight_cols.append(
+            F.when(
+                F.col(f"{field}_a").isNotNull() & F.col(f"{field}_b").isNotNull(),
+                F.lit(weight),
+            ).otherwise(F.lit(0.0))
+        )
+
+    total_sim = sum(sim_cols[1:], sim_cols[0])
+    total_weight = sum(weight_cols[1:], weight_cols[0])
+
+    scored = pairs.withColumn(
+        "score",
+        F.when(total_weight > 0, total_sim / total_weight).otherwise(F.lit(0.0)),
+    )
+    return scored.where(F.col("score") >= F.lit(threshold)).select(
+        F.col("mention_id_a").alias("src"),
+        F.col("mention_id_b").alias("dst"),
+        F.round("score", 6).alias("score"),
+    )

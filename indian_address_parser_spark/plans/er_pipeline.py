@@ -1,0 +1,130 @@
+"""End-to-end checkpointed ER pipeline with stage manifests and resume.
+
+Stage graph (SURVEY.md §3.4):
+
+  pages ─extract(mapInPandas)→ mentions  [ckpt 1, narrow]
+        ─block keys (+skew split)→ blocked [ckpt 2, one agg]
+        ─self-join→ pairs ─score→ edges   [ckpt 3, the big shuffle]
+        ─large/small-star→ clusters       [ckpt 4, iterated]
+
+Each stage writes parquet plus a ``_manifest.json`` (stage name, input
+fingerprint, row count, per-partition counts). ``run_pipeline`` skips a
+stage when its manifest validates against the current input fingerprint —
+a rerun after a crash resumes mid-run without recomputation (north rule).
+Counters come from ``df.observe`` where cheap and from the manifest rows
+otherwise; they are also the per-partition lineage record.
+
+On a real cluster the parquet roots live on HDFS/S3 and the same logic
+holds; Iceberg would add snapshot ids to the manifest — parquet + manifest
+is the sandbox-portable equivalent (TESTDATA.md has no Iceberg catalog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indian_address_parser_spark.eval.pairwise import pairwise_scores
+from indian_address_parser_spark.operators.blocking import with_block_key
+from indian_address_parser_spark.operators.cc import attach_clusters, connected_components
+from indian_address_parser_spark.operators.extract import extract_mentions
+from indian_address_parser_spark.operators.pairs import candidate_pairs
+from indian_address_parser_spark.operators.scoring import DEFAULT_THRESHOLD, score_pairs
+
+STAGES = ("mentions", "blocked", "edges", "clusters")
+
+
+def _manifest_path(root: str, stage: str) -> str:
+    return os.path.join(root, stage, "_manifest.json")
+
+
+def _write_stage(df: DataFrame, root: str, stage: str, input_fp: str) -> DataFrame:
+    """Write stage parquet + manifest; return the re-read DataFrame (so the
+    downstream plan reads from disk — cutting lineage like a checkpoint)."""
+    path = os.path.join(root, stage)
+    df.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    out = spark.read.parquet(path)
+    per_part = (
+        out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    )
+    manifest = {
+        "stage": stage,
+        "input_fingerprint": input_fp,
+        "rows": sum(r["count"] for r in per_part),
+        "partitions": {str(r["pid"]): r["count"] for r in per_part},
+        "written_at": time.time(),
+    }
+    with open(_manifest_path(root, stage), "w") as f:
+        json.dump(manifest, f)
+    return out
+
+
+def _stage_valid(root: str, stage: str, input_fp: str) -> bool:
+    mp = _manifest_path(root, stage)
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as f:
+            manifest = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return manifest.get("stage") == stage and manifest.get("input_fingerprint") == input_fp
+
+
+def _input_fingerprint(pages: DataFrame) -> str:
+    row = pages.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(url))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    work_dir: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_block_size: int = 2000,
+    labeled_pairs: DataFrame | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the full pipeline. Returns stage row counts, timings
+    and (if labeled_pairs given) pairwise P/R/F1."""
+    os.makedirs(work_dir, exist_ok=True)
+    fp = _input_fingerprint(pages)
+    report: dict = {"input_fingerprint": fp, "stages": {}, "resumed": []}
+
+    def stage(name: str, build):
+        path = os.path.join(work_dir, name)
+        if resume and _stage_valid(work_dir, name, fp):
+            report["resumed"].append(name)
+            out = spark.read.parquet(path)
+            with open(_manifest_path(work_dir, name)) as f:
+                report["stages"][name] = json.load(f)
+            return out
+        t0 = time.perf_counter()
+        out = _write_stage(build(), work_dir, name, fp)
+        with open(_manifest_path(work_dir, name)) as f:
+            report["stages"][name] = json.load(f)
+        report["stages"][name]["seconds"] = time.perf_counter() - t0
+        return out
+
+    mentions = stage("mentions", lambda: extract_mentions(pages))
+    blocked = stage("blocked", lambda: with_block_key(mentions, max_block_size))
+    edges = stage("edges", lambda: score_pairs(candidate_pairs(blocked), threshold))
+    clusters = stage(
+        "clusters",
+        lambda: attach_clusters(
+            mentions.select("mention_id", "url", "normalized"),
+            connected_components(edges),
+        ),
+    )
+
+    if labeled_pairs is not None:
+        report["pairwise"] = pairwise_scores(clusters, labeled_pairs)
+    return report

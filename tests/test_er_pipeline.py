@@ -1,0 +1,215 @@
+"""End-to-end ER pipeline tests on the deterministic synthetic fixture.
+
+Covers SURVEY.md §5.2 items 4-6: pairwise F1 ≥ 0.99, determinism, resume
+without recomputation, mega-block skew handling, plus plan-level checks
+(html column pruned from the parquet scan; soundex Python/JVM parity).
+"""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from indian_address_parser_spark.eval.pairwise import pairwise_scores
+from indian_address_parser_spark.operators.blocking import block_stats, with_block_key
+from indian_address_parser_spark.operators.cc import attach_clusters, connected_components
+from indian_address_parser_spark.operators.extract import extract_mentions
+from indian_address_parser_spark.operators.pairs import candidate_pairs
+from indian_address_parser_spark.operators.scoring import score_pairs
+from indian_address_parser_spark.plans.er_pipeline import run_pipeline
+from indian_address_parser_spark.sources.pages import generate
+
+
+@pytest.fixture(scope="module")
+def fixture(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pages_fixture"))
+    tables = generate(spark, n_households=400)
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{root}/{name}.parquet")
+    return {
+        name: spark.read.parquet(f"{root}/{name}.parquet")
+        for name in ("pages", "truth", "labeled_pairs")
+    } | {"root": root}
+
+
+class TestPagesFixture:
+    def test_schema_matches_input_hint(self, fixture):
+        fields = dict(fixture["pages"].dtypes)
+        assert fields == {
+            "url": "string",
+            "warc_ts": "timestamp",
+            "html": "binary",
+            "text": "string",
+            "lang": "string",
+        }
+
+    def test_deterministic_generation(self, spark, fixture):
+        again = generate(spark, n_households=400)["pages"]
+        a = fixture["pages"].select("url", "text", "lang").exceptAll(
+            again.select("url", "text", "lang")
+        )
+        assert a.isEmpty()
+
+    def test_mega_pincode_skew_present(self, fixture, spark):
+        mentions = extract_mentions(fixture["pages"])
+        top = (
+            mentions.groupBy("pincode").count().orderBy(F.desc("count")).first()
+        )
+        assert top["pincode"] == "110041"
+
+
+class TestExtraction:
+    def test_every_truth_mention_extracted(self, fixture):
+        mentions = extract_mentions(fixture["pages"])
+        missing = fixture["truth"].join(
+            mentions.select("mention_id"), "mention_id", "left_anti"
+        )
+        assert missing.isEmpty()
+
+    def test_html_column_pruned_from_scan(self, fixture):
+        mentions = extract_mentions(fixture["pages"])
+        plan = mentions._jdf.queryExecution().executedPlan().toString()
+        assert "html" not in plan  # binary column never read
+
+    def test_raw_text_roundtrip(self, fixture):
+        mentions = extract_mentions(fixture["pages"])
+        joined = fixture["truth"].join(
+            mentions.select("mention_id", F.col("raw").alias("raw_extracted")),
+            "mention_id",
+        )
+        mismatch = joined.where(F.col("raw") != F.col("raw_extracted"))
+        assert mismatch.isEmpty()
+
+
+class TestSoundexParity:
+    def test_python_soundex_matches_spark(self, spark):
+        from indian_address_parser_spark.core.fuzzy import soundex
+
+        words = [
+            "LAJPAT", "NAGAR", "DWARKA", "PALAM", "SADARBAZAAR", "VIHAR",
+            "ROHINI", "PITAMPURA", "KUNJ", "CHANDNICHOWK", "X", "BVGH",
+            "AEIOU", "HWHW", "NAGER",
+        ]
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        got = {r["w"]: r["s"] for r in df.select("w", F.soundex("w").alias("s")).collect()}
+        for w in words:
+            assert soundex(w) == got[w], w
+
+
+class TestPipeline:
+    def test_f1_target(self, spark, fixture, tmp_path):
+        report = run_pipeline(
+            spark,
+            fixture["pages"],
+            str(tmp_path / "run1"),
+            labeled_pairs=fixture["labeled_pairs"],
+        )
+        assert report["pairwise"]["f1"] >= 0.99, report["pairwise"]
+        assert report["pairwise"]["precision"] >= 0.99
+
+    def test_determinism_two_runs(self, spark, fixture, tmp_path):
+        r1 = run_pipeline(spark, fixture["pages"], str(tmp_path / "a"), resume=False)
+        r2 = run_pipeline(spark, fixture["pages"], str(tmp_path / "b"), resume=False)
+        c1 = spark.read.parquet(str(tmp_path / "a" / "clusters"))
+        c2 = spark.read.parquet(str(tmp_path / "b" / "clusters"))
+        diff = c1.select("mention_id", "cluster_id").exceptAll(
+            c2.select("mention_id", "cluster_id")
+        )
+        assert diff.isEmpty()
+
+    def test_resume_skips_completed_stages(self, spark, fixture, tmp_path):
+        wd = str(tmp_path / "resume")
+        first = run_pipeline(spark, fixture["pages"], wd)
+        assert first["resumed"] == []
+        # simulate crash after stage 2: drop later stages' manifests
+        for stage in ("edges", "clusters"):
+            os.remove(os.path.join(wd, stage, "_manifest.json"))
+        second = run_pipeline(spark, fixture["pages"], wd)
+        assert second["resumed"] == ["mentions", "blocked"]
+        # and a fully-complete rerun resumes everything
+        third = run_pipeline(spark, fixture["pages"], wd)
+        assert third["resumed"] == list(("mentions", "blocked", "edges", "clusters"))
+
+    def test_manifests_record_partitions(self, spark, fixture, tmp_path):
+        wd = str(tmp_path / "manifest")
+        run_pipeline(spark, fixture["pages"], wd)
+        for stage in ("mentions", "blocked", "edges", "clusters"):
+            with open(os.path.join(wd, stage, "_manifest.json")) as f:
+                m = json.load(f)
+            assert m["rows"] == sum(m["partitions"].values())
+            assert m["rows"] > 0
+
+
+class TestSkewHandling:
+    def test_mega_block_gets_secondary_key(self, spark, fixture):
+        mentions = extract_mentions(fixture["pages"])
+        blocked = with_block_key(mentions, max_block_size=50)
+        mega = blocked.where(
+            (F.col("block_size") > 50) & (F.col("join_key") == F.col("block_key"))
+        )
+        assert mega.isEmpty()  # every oversized block was sub-split
+
+    def test_secondary_split_bounds_pairs(self, spark, fixture):
+        mentions = extract_mentions(fixture["pages"]).cache()
+        loose = candidate_pairs(with_block_key(mentions, max_block_size=10**9)).count()
+        tight = candidate_pairs(with_block_key(mentions, max_block_size=50)).count()
+        assert tight <= loose
+
+    def test_secondary_split_preserves_recall(self, spark, fixture, tmp_path):
+        report = run_pipeline(
+            spark,
+            fixture["pages"],
+            str(tmp_path / "skew"),
+            max_block_size=20,  # force splitting of most blocks
+            labeled_pairs=fixture["labeled_pairs"],
+        )
+        assert report["pairwise"]["f1"] >= 0.99, report["pairwise"]
+
+
+class TestConnectedComponents:
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import itertools
+
+        # deterministic pseudo-random graph over 60 nodes
+        edges = [
+            (f"n{(i * 13) % 60}", f"n{(i * 29 + 7) % 60}") for i in range(45)
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["mention_id"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+
+        # union-find reference
+        parent: dict[str, str] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        expected_groups: dict[str, list[str]] = {}
+        for node in parent:
+            expected_groups.setdefault(find(node), []).append(node)
+        for root, members in expected_groups.items():
+            want = min(members)
+            for mbr in members:
+                assert got[mbr] == want, (mbr, got[mbr], want)
+
+    def test_singletons_become_own_cluster(self, spark):
+        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        mentions = spark.createDataFrame([("a",), ("b",), ("c",)], ["mention_id"])
+        out = attach_clusters(mentions, connected_components(edges))
+        got = {r["mention_id"]: r["cluster_id"] for r in out.collect()}
+        assert got == {"a": "a", "b": "a", "c": "c"}
