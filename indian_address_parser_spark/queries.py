@@ -1,0 +1,743 @@
+"""Driver-facing query registry: Spark implementations + DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 over the
+driver-provided tables at ``sf_dir``. The ER-stage queries run over a
+DERIVED ADDRESS column built with identical deterministic arithmetic in
+both engines (documents.doc_id → address string), so DuckDB can
+oracle-check normalization, extraction regexes, blocking, candidate
+pairs, similarity scoring and transitive clustering end-to-end.
+
+Column names are aliased identically on both sides (driver hash-compares
+by sorted column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indian_address_parser_spark.core.normalizer import ABBREVIATION_RULES
+from indian_address_parser_spark.sources.pages import COLONIES, PINCODES, SUBAREAS
+
+# ---------------------------------------------------------------------------
+# derived address (shared arithmetic)
+# ---------------------------------------------------------------------------
+
+HOUSE_STYLES = ("H.NO ", "HOUSE NO ", "HNO ", "H NO ")
+GALI_STYLES = ("GALI NO ", "GALI ", "LANE ")
+
+
+def _pick_spark(values, idx):
+    return F.element_at(F.array(*[F.lit(v) for v in values]), (idx % len(values) + 1).cast("int"))
+
+
+def _pick_sql(values, idx_expr):
+    cases = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(values)
+    )
+    return f"(CASE ({idx_expr}) % {len(values)} {cases} END)"
+
+
+def addr_spark(doc_id):
+    """Derived address column (Spark)."""
+    hn = (doc_id % 997 + 1).cast("string")
+    gn = (doc_id % 23 + 1).cast("string")
+    parts = [
+        _pick_spark(HOUSE_STYLES, doc_id), hn,
+        F.lit(", "), _pick_spark(GALI_STYLES, doc_id), gn,
+        F.lit(", "), _pick_spark(COLONIES, doc_id % 11),
+    ]
+    subarea = F.when(
+        doc_id % 3 != 0, F.concat(F.lit(", "), _pick_spark(SUBAREAS, doc_id % 7))
+    ).otherwise(F.lit(""))
+    city = F.when(doc_id % 10 < 8, F.lit("NEW DELHI")).otherwise(F.lit("DELHI"))
+    pin = F.when(doc_id % 5 == 0, F.lit("110041")).otherwise(_pick_spark(PINCODES, doc_id % 13))
+    return F.concat(*parts, subarea, F.lit(", "), city, F.lit(" "), pin)
+
+
+def addr_sql(doc_id: str = "doc_id") -> str:
+    """Same derived address in DuckDB SQL."""
+    hn = f"cast({doc_id} % 997 + 1 as varchar)"
+    gn = f"cast({doc_id} % 23 + 1 as varchar)"
+    subarea = (
+        f"(CASE WHEN {doc_id} % 3 <> 0 THEN ', ' || {_pick_sql(SUBAREAS, f'{doc_id} % 7')} "
+        f"ELSE '' END)"
+    )
+    city = f"(CASE WHEN {doc_id} % 10 < 8 THEN 'NEW DELHI' ELSE 'DELHI' END)"
+    pin = f"(CASE WHEN {doc_id} % 5 = 0 THEN '110041' ELSE {_pick_sql(PINCODES, f'{doc_id} % 13')} END)"
+    return (
+        f"({_pick_sql(HOUSE_STYLES, doc_id)} || {hn} || ', ' || "
+        f"{_pick_sql(GALI_STYLES, doc_id)} || {gn} || ', ' || "
+        f"{_pick_sql(COLONIES, f'{doc_id} % 11')} || {subarea} || ', ' || {city} || ' ' || {pin})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalization as SQL (oracle for the pandas-UDF normalizer)
+# ---------------------------------------------------------------------------
+
+_WS_STEPS = [
+    (r"\s+", " "),
+    (r"\s*,\s*", ", "),
+    (r"\s*-\s*", "-"),
+]
+_PUNCT_STEPS = [
+    (r"[–—]", "-"),
+    (r",+", ","),
+    (r"-+", "-"),
+    (r"-,", ","),
+]
+
+
+def normalize_sql(expr: str) -> str:
+    """The P1 chain as nested DuckDB regexp_replace calls.
+
+    upper() is hoisted to the front (the abbreviation rules are
+    case-insensitive with uppercase replacements, so expand∘upper ==
+    upper∘expand — see core/normalizer.py).
+    """
+    out = f"upper({expr})"
+    for pat, rep in _WS_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    out = f"trim({out})"
+    for pat, rep in _PUNCT_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    for pat, rep in ABBREVIATION_RULES:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
+    for pat, rep in _WS_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return f"trim({out})"
+
+
+# regexes shared verbatim by Spark (Java regex) and DuckDB (RE2)
+HOUSE_RE = r"\b(?:H\.?\s*NO\.?|HOUSE\s*NO\.?|HNO)\s*[A-Z]?\d+[A-Z]?(?:[-/]\d+)*\b"
+GALI_RE = r"\b(?:GALI|GALLI|LANE)\s*(?:NO\.?)?\s*\d+[A-Z]?\b"
+PIN_RE = r"\b[1-9]\d{5}\b"
+LAST_DELHI_RE = r".*\b(DELHI)\b"
+
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
+
+SCORE_THRESHOLD = 0.84
+
+
+# ---------------------------------------------------------------------------
+# Spark query implementations
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _with_addr(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", addr_spark(F.col("doc_id")).alias("addr"))
+
+
+def q_er_synth_addr(spark, sf_dir):
+    return _with_addr(spark, sf_dir)
+
+
+def q_er_normalize(spark, sf_dir):
+    from indian_address_parser_spark.functions.udfs import normalize_udf
+
+    return _with_addr(spark, sf_dir).select(
+        "doc_id", normalize_udf(F.col("addr")).alias("normalized")
+    )
+
+
+def _norm_fields(spark, sf_dir) -> DataFrame:
+    """doc_id, normalized + extracted fields — shared by several queries."""
+    from indian_address_parser_spark.functions.udfs import normalize_udf
+
+    n = _with_addr(spark, sf_dir).select(
+        "doc_id", normalize_udf(F.col("addr")).alias("normalized")
+    )
+    return n.select(
+        "doc_id",
+        "normalized",
+        F.regexp_extract("normalized", HOUSE_RE, 0).alias("house_no"),
+        F.regexp_extract("normalized", GALI_RE, 0).alias("street"),
+        F.regexp_extract("normalized", PIN_RE, 0).alias("pincode"),
+        F.when(
+            F.col("normalized").rlike(r"\bNEW DELHI\b"), F.lit("NEW DELHI")
+        )
+        .otherwise(F.regexp_extract("normalized", LAST_DELHI_RE, 1))
+        .alias("city"),
+    )
+
+
+def q_er_extract_fields(spark, sf_dir):
+    return _norm_fields(spark, sf_dir)
+
+
+def q_er_block_key(spark, sf_dir):
+    f = _norm_fields(spark, sf_dir)
+    return f.select(
+        "doc_id",
+        F.concat_ws("|", "pincode", "city").alias("block_key"),
+    )
+
+
+def _blocked(spark, sf_dir) -> DataFrame:
+    f = _norm_fields(spark, sf_dir)
+    return f.withColumn("block_key", F.concat_ws("|", "pincode", "city"))
+
+
+def q_er_block_sizes(spark, sf_dir):
+    return (
+        _blocked(spark, sf_dir)
+        .groupBy("block_key")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_er_candidate_pairs(spark, sf_dir):
+    b = _blocked(spark, sf_dir)
+    a = b.select(F.col("doc_id").alias("id_a"), "block_key")
+    c = b.select(F.col("doc_id").alias("id_b"), F.col("block_key").alias("bk"))
+    return a.join(
+        c, (F.col("block_key") == F.col("bk")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b", "block_key")
+
+
+def _scored_pairs(spark, sf_dir) -> DataFrame:
+    from indian_address_parser_spark.functions.udfs import jaro_winkler_udf
+
+    b = _blocked(spark, sf_dir)
+    cols = ["house_no", "street", "city", "pincode"]
+    a = b.select(F.col("doc_id").alias("id_a"), "block_key", *[F.col(c).alias(c + "_a") for c in cols])
+    c = b.select(F.col("doc_id").alias("id_b"), F.col("block_key").alias("bk"), *[F.col(c).alias(c + "_b") for c in cols])
+    p = a.join(c, (F.col("block_key") == F.col("bk")) & (F.col("id_a") < F.col("id_b")))
+
+    def lev_sim(x, y):
+        ml = F.greatest(F.length(x), F.length(y))
+        return F.when(ml == 0, F.lit(1.0)).otherwise(1.0 - F.levenshtein(x, y) / ml.cast("double"))
+
+    score = (
+        0.4 * jaro_winkler_udf(F.col("house_no_a"), F.col("house_no_b"))
+        + 0.3 * jaro_winkler_udf(F.col("street_a"), F.col("street_b"))
+        + 0.2 * lev_sim(F.col("city_a"), F.col("city_b"))
+        + 0.1 * F.when(F.col("pincode_a") == F.col("pincode_b"), 1.0).otherwise(0.0)
+    )
+    return p.select("id_a", "id_b", F.round(score, 6).alias("score"))
+
+
+def q_er_pair_scores(spark, sf_dir):
+    return _scored_pairs(spark, sf_dir)
+
+
+def q_er_edges(spark, sf_dir):
+    return _scored_pairs(spark, sf_dir).where(F.col("score") >= SCORE_THRESHOLD)
+
+
+def q_er_clusters(spark, sf_dir):
+    from indian_address_parser_spark.operators.cc import connected_components
+
+    # zero-pad ids: CC compares lexicographically, the oracle numerically
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    edges = q_er_edges(spark, sf_dir).select(
+        pad(F.col("id_a")).alias("src"),
+        pad(F.col("id_b")).alias("dst"),
+    )
+    nodes = _docs(spark, sf_dir).select(pad(F.col("doc_id")).alias("mention_id"))
+    asn = connected_components(edges)
+    out = nodes.join(asn, "mention_id", "left")
+    return out.select(
+        F.col("mention_id").cast("bigint").alias("doc_id"),
+        F.coalesce(F.col("cluster_id"), F.col("mention_id")).cast("bigint").alias("cluster_id"),
+    )
+
+
+def q_er_cluster_sizes(spark, sf_dir):
+    return (
+        q_er_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n") > 1)
+    )
+
+
+def _shingles(spark, sf_dir, k: int = 3) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    d = d.withColumn(
+        "sh",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, k)),
+            )
+        ),
+    )
+    return d.select("doc_id", F.explode("sh").alias("shingle"))
+
+
+def q_dedup_minhash_signatures(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(seed) + "|"), F.col("shingle")))).alias(f"mh{seed}")
+        for seed in range(4)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_dedup_minhash_band_pairs(spark, sf_dir):
+    sig = q_dedup_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.concat_ws("|", "mh0", "mh1").alias("band0"),
+        F.concat_ws("|", "mh2", "mh3").alias("band1"),
+    )
+    stacked = bands.select(
+        "doc_id", F.explode(F.array("band0", "band1")).alias("band")
+    )
+    a = stacked.select(F.col("doc_id").alias("id_a"), "band")
+    b = stacked.select(F.col("doc_id").alias("id_b"), F.col("band").alias("bd"))
+    return (
+        a.join(b, (F.col("band") == F.col("bd")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh2"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("sh2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+    )
+    return j.where(F.col("jaccard") >= 0.5).select("id_a", "id_b", "jaccard")
+
+
+def q_dedup_simhash(spark, sf_dir, n_bits: int = 16):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    d = d.withColumn("h", F.md5("w"))
+    bit_cols = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    agg = d.groupBy("doc_id").agg(*bit_cols)
+    sim = F.concat(
+        *[F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(n_bits)]
+    )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def q_text_token_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(n_stop / F.size(words), 6).alias("stopword_ratio"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / F.size(words)
+    score = F.least(F.size(words) / 100.0, F.lit(1.0)) * 0.5 + (1.0 - ratio) * 0.5
+    return d.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+def q_text_lang_distribution(spark, sf_dir):
+    return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n"))
+
+
+# --- similarity search -----------------------------------------------------
+
+
+def _emb_double(spark, sf_dir) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def q_sim_cosine_topk(spark, sf_dir, k: int = 5):
+    from pyspark.sql import Window
+
+    e = _emb_double(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("id_a", "id_b", "cos", "rk")
+    )
+
+
+def q_sim_topk_ivf_label(spark, sf_dir, k: int = 3):
+    """IVF-style: restrict search to the coarse partition (label)."""
+    from pyspark.sql import Window
+
+    e = _emb_double(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lb"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb2"), F.col("v").alias("vb"))
+    pairs = a.join(b, (F.col("lb") == F.col("lb2")) & (F.col("id_a") != F.col("id_b")))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("id_a", "id_b", "cos", "rk")
+    )
+
+
+# --- relational coverage over TPC-H-ish tables -----------------------------
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_mktsegment_orders(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+def q_window_top_order_per_cust(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("top_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_norm_fields() -> str:
+    norm = normalize_sql(addr_sql())
+    return f"""
+    SELECT doc_id,
+           normalized,
+           coalesce(regexp_extract(normalized, '{HOUSE_RE}'), '') AS house_no,
+           coalesce(regexp_extract(normalized, '{GALI_RE}'), '') AS street,
+           coalesce(regexp_extract(normalized, '{PIN_RE}'), '') AS pincode,
+           CASE WHEN regexp_matches(normalized, '\\bNEW DELHI\\b') THEN 'NEW DELHI'
+                ELSE coalesce(regexp_extract(normalized, '{LAST_DELHI_RE}', 1), '') END AS city
+    FROM (SELECT doc_id, {norm} AS normalized FROM documents)
+    """
+
+
+def _oracle_blocked() -> str:
+    return f"""
+    SELECT *, pincode || '|' || city AS block_key FROM ({_oracle_norm_fields()})
+    """
+
+
+def _oracle_scored() -> str:
+    return f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(0.4 * jaro_winkler_similarity(a.house_no, b.house_no)
+               + 0.3 * jaro_winkler_similarity(a.street, b.street)
+               + 0.2 * (CASE WHEN greatest(length(a.city), length(b.city)) = 0 THEN 1.0
+                        ELSE 1.0 - levenshtein(a.city, b.city)
+                             / cast(greatest(length(a.city), length(b.city)) AS double) END)
+               + 0.1 * (CASE WHEN a.pincode = b.pincode THEN 1.0 ELSE 0.0 END), 6) AS score
+    FROM ({_oracle_blocked()}) a JOIN ({_oracle_blocked()}) b
+      ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    """
+
+
+def _oracle_shingles() -> str:
+    return """
+    SELECT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i: i+2], ' ')
+                     for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    """
+
+
+def _oracle_minhash_sig() -> str:
+    aggs = ", ".join(
+        f"min(md5('{seed}|' || shingle)) AS mh{seed}" for seed in range(4)
+    )
+    return f"SELECT doc_id, {aggs} FROM ({_oracle_shingles()}) GROUP BY doc_id"
+
+
+def _oracle_simhash(n_bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(n_bits)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(n_bits)
+    )
+    return f"""
+    SELECT doc_id, {bits} AS simhash FROM (
+      SELECT doc_id, {sums} FROM (
+        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+      ) GROUP BY doc_id
+    )
+    """
+
+
+def oracle_sqls() -> dict[str, str]:
+    norm = normalize_sql(addr_sql())
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return {
+        "er_synth_addr": f"SELECT doc_id, {addr_sql()} AS addr FROM documents",
+        "er_normalize": f"SELECT doc_id, {norm} AS normalized FROM documents",
+        "er_extract_fields": _oracle_norm_fields(),
+        "er_block_key": f"SELECT doc_id, pincode || '|' || city AS block_key FROM ({_oracle_norm_fields()})",
+        "er_block_sizes": f"SELECT block_key, count(*) AS n FROM ({_oracle_blocked()}) GROUP BY block_key",
+        "er_candidate_pairs": f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.block_key
+            FROM ({_oracle_blocked()}) a JOIN ({_oracle_blocked()}) b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        """,
+        "er_pair_scores": _oracle_scored(),
+        "er_edges": f"SELECT * FROM ({_oracle_scored()}) WHERE score >= {SCORE_THRESHOLD}",
+        "er_clusters": f"""
+            WITH RECURSIVE edges AS (
+              SELECT id_a, id_b FROM ({_oracle_scored()}) WHERE score >= {SCORE_THRESHOLD}
+            ),
+            undirected AS (
+              SELECT id_a AS u, id_b AS v FROM edges
+              UNION SELECT id_b, id_a FROM edges
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM undirected
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN undirected e ON r.v = e.u
+            )
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        "er_cluster_sizes": f"""
+            WITH RECURSIVE edges AS (
+              SELECT id_a, id_b FROM ({_oracle_scored()}) WHERE score >= {SCORE_THRESHOLD}
+            ),
+            undirected AS (
+              SELECT id_a AS u, id_b AS v FROM edges
+              UNION SELECT id_b, id_a FROM edges
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM undirected
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN undirected e ON r.v = e.u
+            ),
+            clusters AS (
+              SELECT d.doc_id,
+                     least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+              FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+              GROUP BY d.doc_id
+            )
+            SELECT n, count(*) AS n_clusters FROM (
+              SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id
+            ) GROUP BY n
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keeper
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "dedup_minhash_signatures": _oracle_minhash_sig(),
+        "dedup_minhash_band_pairs": f"""
+            WITH sig AS ({_oracle_minhash_sig()}),
+            bands AS (
+              SELECT doc_id, mh0 || '|' || mh1 AS band FROM sig
+              UNION ALL SELECT doc_id, mh2 || '|' || mh3 FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({_oracle_shingles()}),
+            counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(inter / cast(ca.n_sh + cb.n_sh - inter AS double), 6) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE inter / cast(ca.n_sh + cb.n_sh - inter AS double) >= 0.5
+        """,
+        "dedup_simhash": _oracle_simhash(),
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars_measured,
+                   round(len(list_filter(string_split(text, ' '), w -> w IN ({stop_list})))
+                         / cast(len(string_split(text, ' ')) AS double), 6) AS stopword_ratio
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                       + (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ({stop_list})))
+                               / cast(len(string_split(text, ' ')) AS double)) * 0.5, 6) AS quality
+            FROM documents
+        """,
+        "text_fingerprint": f"SELECT doc_id, min(md5(shingle)) AS fingerprint FROM ({_oracle_shingles()}) GROUP BY doc_id",
+        "text_lang_distribution": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "sim_cosine_topk": """
+            SELECT id_a, id_b, cos, rk FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                b.vec_id ASC
+                     ) AS rk
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ) WHERE rk <= 5
+        """,
+        "sim_topk_ivf_label": """
+            SELECT id_a, id_b, cos, rk FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                b.vec_id ASC
+                     ) AS rk
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id <> b.vec_id
+            ) WHERE rk <= 3
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_mktsegment_orders": """
+            SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "window_top_order_per_cust": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS top_price FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders
+            ) WHERE rk = 1
+        """,
+    }
+
+
+SPARK_QUERIES = {
+    "er_synth_addr": q_er_synth_addr,
+    "er_normalize": q_er_normalize,
+    "er_extract_fields": q_er_extract_fields,
+    "er_block_key": q_er_block_key,
+    "er_block_sizes": q_er_block_sizes,
+    "er_candidate_pairs": q_er_candidate_pairs,
+    "er_pair_scores": q_er_pair_scores,
+    "er_edges": q_er_edges,
+    "er_clusters": q_er_clusters,
+    "er_cluster_sizes": q_er_cluster_sizes,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "dedup_minhash_band_pairs": q_dedup_minhash_band_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "text_lang_distribution": q_text_lang_distribution,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_topk_ivf_label": q_sim_topk_ivf_label,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_mktsegment_orders": q_join_mktsegment_orders,
+    "window_top_order_per_cust": q_window_top_order_per_cust,
+}

@@ -1,0 +1,46 @@
+"""Smoke tests for the driver contract (__spark_entry__)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+
+class TestEntry:
+    def test_entry_returns_rows(self, spark):
+        df = entrymod.entry(spark)
+        assert df.count() > 0
+        assert set(df.columns) == {"doc_id", "cluster_id"}
+
+    def test_queries_and_oracles_align(self):
+        q = entrymod.queries()
+        o = entrymod.oracle_sql()
+        assert set(o) <= set(q)
+        # rows-only entries are the documented non-SQL ops
+        assert set(q) - set(o) == {"er_pipeline_full", "er_extract_mentions"}
+
+    def test_rows_only_queries_run(self, spark):
+        q = entrymod.queries()
+        assert q["er_pipeline_full"](spark, "/root/testdata/sf0.001").count() > 0
+        assert q["er_extract_mentions"](spark, "/root/testdata/sf0.001").count() > 0
+
+
+class TestOracleParity:
+    """Mirror the driver's hash comparison on a representative subset."""
+
+    SUBSET = [
+        "er_normalize",
+        "er_extract_fields",
+        "er_pair_scores",
+        "er_clusters",
+        "dedup_minhash_band_pairs",
+        "sim_cosine_topk",
+    ]
+
+    def test_subset_matches_duckdb(self, spark):
+        from scripts.check_oracle import run_check
+
+        res = run_check("/root/testdata/sf0.001", self.SUBSET)
+        bad = {k: v for k, v in res.items() if v["status"] == "MISMATCH"}
+        assert not bad, bad
