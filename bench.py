@@ -1,0 +1,113 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+The ER pipeline benchmark runs the real pipeline (mapInPandas extraction →
+soundex blocking → scored self-join → star CC) over the deterministic
+synthetic pages fixture sized to the sf, and reports pages/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = (
+    "er_normalize",
+    "er_extract_fields",
+    "er_pair_scores",
+    "er_clusters",
+    "dedup_minhash_band_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_token_stats",
+    "sim_cosine_topk",
+    "agg_pricing_summary",
+    "window_top_order_per_cust",
+)
+
+
+def _consume(df) -> int:
+    """Execute fully without collecting rows to the driver."""
+    return df.count()
+
+
+def run_er_pipeline(spark, n_households: int) -> dict:
+    from indian_address_parser_spark.operators.blocking import with_block_key
+    from indian_address_parser_spark.operators.cc import attach_clusters, connected_components
+    from indian_address_parser_spark.operators.extract import extract_mentions
+    from indian_address_parser_spark.operators.pairs import candidate_pairs
+    from indian_address_parser_spark.operators.scoring import score_pairs
+    from indian_address_parser_spark.sources.pages import generate
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pages = generate(spark, n_households=n_households)["pages"]
+    pages = pages.repartition(cpus * 2).cache()
+    n_pages = pages.count()  # materialize input outside the timed window
+
+    t0 = time.perf_counter()
+    # cache the fan-out points: blocking and the pair self-join each consume
+    # their input twice (run_pipeline gets the same effect from its stage
+    # parquet checkpoints)
+    mentions = extract_mentions(pages).cache()
+    blocked = with_block_key(mentions).cache()
+    edges = score_pairs(candidate_pairs(blocked))
+    clusters = attach_clusters(mentions.select("mention_id"), connected_components(edges))
+    n_clusters = _consume(clusters)
+    secs = time.perf_counter() - t0
+    mentions.unpersist()
+    blocked.unpersist()
+    return {
+        "pages": n_pages,
+        "clusters": n_clusters,
+        "seconds": secs,
+        "pages_per_sec": n_pages / secs,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from indian_address_parser_spark.plans.session import get_spark
+    from indian_address_parser_spark.queries import SPARK_QUERIES
+
+    spark = get_spark(app_name="bench")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(SPARK_QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_households = {"0.001": 500, "0.01": 5000, "0.1": 50000}.get(sf, 5000)
+    er = run_er_pipeline(spark, n_households)
+    timings["er_pipeline_synthetic"] = round(er["seconds"], 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "throughput": {
+                    "er_pages": er["pages"],
+                    "er_pages_per_sec": round(er["pages_per_sec"], 1),
+                    "er_clusters": er["clusters"],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

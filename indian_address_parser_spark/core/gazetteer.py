@@ -85,8 +85,13 @@ def best_match(text: str) -> tuple[str, float] | None:
     if not text or len(text) < 3:
         return None
     q = text.upper()
+    lq = len(q)
     best_place, best_score = None, -1.0
     for place in ALL_PLACES:
+        # upper bound: LCS ≤ min(len) → ratio ≤ 200·min/(sum); prune
+        ub = 200.0 * min(lq, len(place)) / (lq + len(place))
+        if ub <= best_score:
+            continue
         s = indel_ratio(q, place)
         if s > best_score:
             best_place, best_score = place, s

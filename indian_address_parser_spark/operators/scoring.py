@@ -59,8 +59,26 @@ def field_similarity(field: str, digit_guarded: bool, use_jw: bool) -> Column:
     return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(base)
 
 
+_W_TOTAL = sum(w for _, w, _, _ in FIELD_WEIGHTS)
+_W_HOUSE = dict((f, w) for f, w, _, _ in FIELD_WEIGHTS)["house_no"]
+# Max achievable score when both house digit-signatures are present but
+# differ: the house term is 0 and the bound is maximized with every other
+# field present and perfect.
+_HOUSE_MISMATCH_CEILING = (_W_TOTAL - _W_HOUSE) / _W_TOTAL
+
+
 def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
     """→ edges(src, dst, score) for pairs scoring ≥ threshold."""
+    if threshold > _HOUSE_MISMATCH_CEILING:
+        # Exact JVM-side prune: a pair whose house digit-signatures are both
+        # present and unequal can never reach the threshold, so drop it
+        # before the (Python) Jaro-Winkler UDF ever runs. This is the main
+        # cost lever — within a block most pairs are cross-household and die
+        # here inside whole-stage codegen.
+        ha, hb = _digits(F.col("house_no_a")), _digits(F.col("house_no_b"))
+        pairs = pairs.where(
+            F.col("house_no_a").isNull() | F.col("house_no_b").isNull() | (ha == hb)
+        )
     sim_cols = []
     weight_cols = []
     for field, weight, guarded, use_jw in FIELD_WEIGHTS:

@@ -1,0 +1,69 @@
+"""Two-cluster-size scaling evidence (north rule).
+
+Runs the SAME ER pipeline job on the SAME input at two parallelism levels
+(local[8] vs local[32] — the sandbox substitute for N vs 4N executors; one
+JVM thread ≙ one executor core) and reports throughput at both plus the
+scaling efficiency  eff = T_32 / (4 · T_8).
+
+Each level runs in its own subprocess (a JVM cannot change master
+mid-session). Results land in BENCH/scaling.json and BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [n_households]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+cores = int(sys.argv[1]); n_households = int(sys.argv[2])
+os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+from indian_address_parser_spark.plans.session import get_spark
+import bench
+spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+out = bench.run_er_pipeline(spark, n_households)
+out["cores"] = cores
+print("RESULT " + json.dumps(out))
+"""
+
+
+def run_level(cores: int, n_households: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), str(n_households)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no result from cores={cores}:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_households = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    low = run_level(8, n_households)
+    high = run_level(32, n_households)
+    eff = high["pages_per_sec"] / (4 * low["pages_per_sec"])
+    result = {
+        "n_households": n_households,
+        "low": low,
+        "high": high,
+        "scaling_efficiency": round(eff, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
