@@ -105,7 +105,7 @@ def default_candidates(text: str) -> list[str]:
 
 
 @F.pandas_udf(T.DoubleType())
-def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _jaro_winkler_impl(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized Jaro-Winkler (DuckDB-parity, see core.fuzzy)."""
     from indian_address_parser_spark.core.fuzzy import jaro_winkler
 
@@ -116,6 +116,12 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         ],
         dtype="float64",
     )
+
+
+# The function IS deterministic; the flag stops Catalyst from cloning the
+# ArrowEvalPython node into both the filter and the projection of a
+# score-then-threshold plan (observed 2× Python evaluation otherwise).
+jaro_winkler_udf = _jaro_winkler_impl.asNondeterministic()
 
 
 @F.pandas_udf(T.StringType())

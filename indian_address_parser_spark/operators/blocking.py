@@ -20,12 +20,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# fields whose digit runs carry the address identity (scoring hard features)
+DIGIT_FIELDS = ("house_no", "street", "block", "sector", "khasra")
+
+
 def _soundex_or_empty(col):
     letters = F.regexp_replace(F.coalesce(col, F.lit("")), "[^A-Za-z]", "")
     return F.when(F.length(letters) > 0, F.soundex(letters)).otherwise(F.lit(""))
 
 
-def with_block_key(mentions: DataFrame, max_block_size: int = 2000) -> DataFrame:
+def with_block_key(mentions: DataFrame, max_block_size: int = 200) -> DataFrame:
     """Attach ``block_key`` (+ secondary split for oversized blocks).
 
     Returns the input with columns:
@@ -58,13 +62,21 @@ def with_block_key(mentions: DataFrame, max_block_size: int = 2000) -> DataFrame
     sizes = keyed.groupBy("block_key").agg(F.count("*").alias("block_size"))
     keyed = keyed.join(F.broadcast(sizes), "block_key")
 
+    # digit signatures computed ONCE per mention (used as the secondary
+    # blocking component and as scoring hard features — hoisting them out
+    # of the pair join halves the per-pair expression work)
+    for f in DIGIT_FIELDS:
+        keyed = keyed.withColumn(
+            f"{f}_digits",
+            F.when(
+                F.col(f).isNotNull(), F.regexp_replace(F.col(f), "[^0-9/]", "")
+            ),
+        )
+
     secondary = F.concat_ws(
         "|",
         _soundex_or_empty(F.col("street")),
-        F.coalesce(
-            F.nullif(F.regexp_replace(F.coalesce(F.col("house_no"), F.lit("")), "[^0-9]", ""), F.lit("")),
-            F.lit(""),
-        ),
+        F.coalesce(F.col("house_no_digits"), F.lit("")),
     )
     return keyed.withColumn(
         "join_key",

@@ -13,10 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Fields each side carries into scoring.
+# Fields each side carries into scoring (incl. precomputed digit signatures).
+# Keep this minimal — every column here is shuffled twice in the self-join.
 PAIR_FIELDS = (
     "house_no", "street", "locality", "city", "state", "pincode",
-    "block", "sector", "floor", "khasra",
+    "block", "sector", "khasra",
+    "house_no_digits", "street_digits", "block_digits", "sector_digits",
+    "khasra_digits",
 )
 
 
@@ -24,7 +27,7 @@ def candidate_pairs(blocked: DataFrame) -> DataFrame:
     """→ one row per unordered candidate pair with both sides' fields."""
     usable = blocked.where(F.col("block_key") != "||")
 
-    cols = ["mention_id", "join_key", "block_key", *PAIR_FIELDS]
+    cols = ["mention_id", "join_key", *PAIR_FIELDS]
     left = usable.select([F.col(c).alias(f"{c}_a") for c in cols])
     right = usable.select([F.col(c).alias(f"{c}_b") for c in cols])
 
@@ -36,6 +39,4 @@ def candidate_pairs(blocked: DataFrame) -> DataFrame:
         )
         .drop("join_key_b")
         .withColumnRenamed("join_key_a", "join_key")
-        .withColumnRenamed("block_key_a", "block_key")
-        .drop("block_key_b")
     )

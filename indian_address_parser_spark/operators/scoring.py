@@ -25,9 +25,14 @@ from pyspark.sql import functions as F
 from indian_address_parser_spark.functions.udfs import jaro_winkler_udf
 
 # (field, weight, digit_guarded, use_jw)
+# use_jw=False throughout the PIPELINE scorer: F.levenshtein keeps the whole
+# scoring stage inside whole-stage codegen. A Python JW UDF here measurably
+# anti-scales — 32 concurrent Python workers contending with the join's JVM
+# threads ran 3-10× slower than 8 (see BENCH/BASELINE.md); the JW UDF remains
+# available for per-query use where volumes are small.
 FIELD_WEIGHTS = (
-    ("house_no", 0.30, True, True),
-    ("street", 0.15, True, True),
+    ("house_no", 0.30, True, False),
+    ("street", 0.15, True, False),
     ("locality", 0.25, False, False),
     ("city", 0.10, False, False),
     ("state", 0.03, False, False),
@@ -38,10 +43,6 @@ FIELD_WEIGHTS = (
 )
 
 DEFAULT_THRESHOLD = 0.80
-
-
-def _digits(col: Column) -> Column:
-    return F.regexp_replace(col, "[^0-9/]", "")
 
 
 def _lev_sim(a: Column, b: Column) -> Column:
@@ -55,7 +56,10 @@ def field_similarity(field: str, digit_guarded: bool, use_jw: bool) -> Column:
     a, b = F.col(f"{field}_a"), F.col(f"{field}_b")
     base = jaro_winkler_udf(a, b) if use_jw else _lev_sim(a, b)
     if digit_guarded:
-        base = F.when(_digits(a) == _digits(b), base).otherwise(F.lit(0.0))
+        # digit signatures were precomputed per mention in blocking
+        base = F.when(
+            F.col(f"{field}_digits_a") == F.col(f"{field}_digits_b"), base
+        ).otherwise(F.lit(0.0))
     return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(base)
 
 
@@ -75,9 +79,10 @@ def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataF
         # before the (Python) Jaro-Winkler UDF ever runs. This is the main
         # cost lever — within a block most pairs are cross-household and die
         # here inside whole-stage codegen.
-        ha, hb = _digits(F.col("house_no_a")), _digits(F.col("house_no_b"))
         pairs = pairs.where(
-            F.col("house_no_a").isNull() | F.col("house_no_b").isNull() | (ha == hb)
+            F.col("house_no_a").isNull()
+            | F.col("house_no_b").isNull()
+            | (F.col("house_no_digits_a") == F.col("house_no_digits_b"))
         )
     sim_cols = []
     weight_cols = []

@@ -89,7 +89,7 @@ def run_pipeline(
     pages: DataFrame,
     work_dir: str,
     threshold: float = DEFAULT_THRESHOLD,
-    max_block_size: int = 2000,
+    max_block_size: int = 200,
     labeled_pairs: DataFrame | None = None,
     resume: bool = True,
 ) -> dict:

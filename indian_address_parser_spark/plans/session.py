@@ -35,11 +35,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # don't let AQE coalesce below the core count: mid-size shuffles
+        # (e.g. the CC iterations) otherwise collapse to ~8 partitions and
+        # leave the rest of the machine idle
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # local mode = driver only; a tight heap makes wide joins GC-bound
+        # as concurrency rises (measured: 5× stage slowdown at 16 threads
+        # with 24g) — size generously on the 128 GiB sandbox
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

