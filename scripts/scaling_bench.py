@@ -54,12 +54,16 @@ def main() -> None:
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else n_low * 4
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     factor = n_high / n_low
-    # best-of-N damps interference from other tenants on the box (the
-    # sandbox carries a background load; see BENCH/BASELINE.md)
-    low = max((run_level(n_low, n_households) for _ in range(repeats)),
-              key=lambda r: r["pages_per_sec"])
-    high = max((run_level(n_high, n_households) for _ in range(repeats)),
-               key=lambda r: r["pages_per_sec"])
+    # interleave the two levels and keep best-of-N per level: the sandbox VM
+    # shows multi-x run-to-run drift (CPU steal), so alternating runs sample
+    # the same machine conditions for both levels
+    lows, highs = [], []
+    for _ in range(repeats):
+        lows.append(run_level(n_low, n_households))
+        highs.append(run_level(n_high, n_households))
+        print(json.dumps({"low": lows[-1], "high": highs[-1]}), flush=True)
+    low = max(lows, key=lambda r: r["pages_per_sec"])
+    high = max(highs, key=lambda r: r["pages_per_sec"])
     eff = high["pages_per_sec"] / (factor * low["pages_per_sec"])
     result = {
         "n_households": n_households,
