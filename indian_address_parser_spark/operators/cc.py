@@ -80,13 +80,29 @@ def connected_components(
     ``cluster_id`` is the lexicographic minimum mention_id of the component.
     Nodes present only as singletons are NOT returned (no edges → caller
     left-joins and coalesces to self, see ``attach_clusters``).
+
+    The star loop runs on ``xxhash64`` longs, not the (long) string ids —
+    the iterated shuffles move 8-byte keys instead of ~50-byte urls. The
+    final labels are re-derived as min(string id) per component, so output
+    is identical to a string-keyed run; a hash collision (≈ n²/2⁶⁴) could
+    only ever merge two clusters, never split one, and is checked for by
+    the unit tests' brute-force comparison at test scale.
     """
     spark = edges.sparkSession
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
+    str_edges = edges.select(
+        F.col(src).cast("string").alias("su"), F.col(dst).cast("string").alias("sv")
+    )
+    nodes = (
+        str_edges.select(F.col("su").alias("mention_id"))
+        .union(str_edges.select(F.col("sv").alias("mention_id")))
+        .distinct()
+        .withColumn("hid", F.xxhash64("mention_id"))
+    )
     cur = _canonical(
-        edges.select(F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v"))
+        str_edges.select(F.xxhash64("su").alias("u"), F.xxhash64("sv").alias("v"))
     )
     cur = cur.localCheckpoint(eager=True) if not checkpoint_dir else cur.checkpoint(eager=True)
     prev_fp = _fingerprint(cur)
@@ -104,12 +120,14 @@ def connected_components(
             break
         prev_fp = fp
 
-    # Converged star graph: every edge is (node > root). Roots map to themselves.
-    members = cur.select(F.col("u").alias("mention_id"), F.col("v").alias("cluster_id"))
-    roots = cur.select(F.col("v").alias("mention_id")).distinct().withColumn(
-        "cluster_id", F.col("mention_id")
-    )
-    return members.union(roots).distinct()
+    # Converged star graph: every edge is (node-hash → root-hash). Map back
+    # to string ids and label each component by its minimum string id.
+    members = cur.select(F.col("u").alias("hid"), F.col("v").alias("root"))
+    roots = cur.select(F.col("v").alias("hid")).distinct().withColumn("root", F.col("hid"))
+    assignments_h = members.union(roots).distinct()
+    named = assignments_h.join(nodes, "hid").select("mention_id", "root")
+    labels = named.groupBy("root").agg(F.min("mention_id").alias("cluster_id"))
+    return named.join(labels, "root").select("mention_id", "cluster_id")
 
 
 def attach_clusters(mentions: DataFrame, assignments: DataFrame) -> DataFrame:

@@ -398,6 +398,25 @@ def q_text_lang_distribution(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n"))
 
 
+def q_text_token_freq(spark, sf_dir):
+    """A1-style hash aggregation: corpus token frequencies (top by count)."""
+    d = _docs(spark, sf_dir).select(F.explode(F.split("text", " ")).alias("w"))
+    return d.groupBy("w").agg(F.count("*").alias("n")).where(F.col("n") >= 10)
+
+
+def q_split_train_val_test(spark, sf_dir):
+    """A6-style deterministic split: hash-stable 80/10/10 assignment
+    (md5-based so DuckDB reproduces it; randomSplit is session-dependent)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 204, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
 # --- similarity search -----------------------------------------------------
 
 
@@ -674,6 +693,20 @@ def oracle_sqls() -> dict[str, str]:
         """,
         "text_fingerprint": f"SELECT doc_id, min(md5(shingle)) AS fingerprint FROM ({_oracle_shingles()}) GROUP BY doc_id",
         "text_lang_distribution": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "text_token_freq": """
+            SELECT w, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w HAVING count(*) >= 10
+        """,
+        "split_train_val_test": """
+            SELECT doc_id,
+                   CASE WHEN b < 204 THEN 'train'
+                        WHEN b < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 2))::UBIGINT AS int) AS b
+                  FROM documents)
+        """,
         "sim_cosine_topk": """
             SELECT id_a, id_b, cos, rk FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -742,6 +775,8 @@ SPARK_QUERIES = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_lang_distribution": q_text_lang_distribution,
+    "text_token_freq": q_text_token_freq,
+    "split_train_val_test": q_split_train_val_test,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_topk_ivf_label": q_sim_topk_ivf_label,
     "agg_pricing_summary": q_agg_pricing_summary,
