@@ -103,19 +103,23 @@ def connected_components(
     )
     cur = _canonical(
         str_edges.select(F.xxhash64("su").alias("u"), F.xxhash64("sv").alias("v"))
-    )
-    cur = cur.localCheckpoint(eager=True) if not checkpoint_dir else cur.checkpoint(eager=True)
-    prev_fp = _fingerprint(cur)
+    ).cache()
+    prev_fp = _fingerprint(cur)  # one job: materializes the cache + aggs
 
-    for _ in range(max_iter):
+    to_unpersist = [cur]
+    for it in range(max_iter):
         stepped = _canonical(_small_star(_large_star(cur)))
-        stepped = (
-            stepped.localCheckpoint(eager=True)
-            if not checkpoint_dir
-            else stepped.checkpoint(eager=True)
-        )
-        fp = _fingerprint(stepped)
+        if (it + 1) % 5 == 0:
+            # periodic hard checkpoint bounds lineage on long convergences
+            stepped = (
+                stepped.checkpoint(eager=False)
+                if checkpoint_dir
+                else stepped.localCheckpoint(eager=False)
+            )
+        stepped = stepped.cache()
+        fp = _fingerprint(stepped)  # single job per iteration
         cur = stepped
+        to_unpersist.append(stepped)
         if fp == prev_fp:
             break
         prev_fp = fp
@@ -127,7 +131,13 @@ def connected_components(
     assignments_h = members.union(roots).distinct()
     named = assignments_h.join(nodes, "hid").select("mention_id", "root")
     labels = named.groupBy("root").agg(F.min("mention_id").alias("cluster_id"))
-    return named.join(labels, "root").select("mention_id", "cluster_id")
+    out = named.join(labels, "root").select("mention_id", "cluster_id")
+    # the caller consumes `out` lazily; keep the loop caches alive in its
+    # lineage but free them once the result is materialized
+    out = out.localCheckpoint(eager=True) if not checkpoint_dir else out.checkpoint(eager=True)
+    for df in to_unpersist:
+        df.unpersist()
+    return out
 
 
 def attach_clusters(mentions: DataFrame, assignments: DataFrame) -> DataFrame:

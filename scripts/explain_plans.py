@@ -54,7 +54,7 @@ def main() -> None:
     capture(
         "blocking + candidate self-join + scoring (edges)",
         edges,
-        must_contain=("WholeStageCodegen", "AdaptiveSparkPlan"),
+        must_contain=("codegen id", "AdaptiveSparkPlan"),  # formatted mode marks WSCG spans as [codegen id : N]
         must_not=("ArrowEvalPython", "BatchEvalPython"),
     )
 
