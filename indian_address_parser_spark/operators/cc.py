@@ -101,25 +101,22 @@ def connected_components(
         .distinct()
         .withColumn("hid", F.xxhash64("mention_id"))
     )
-    cur = _canonical(
-        str_edges.select(F.xxhash64("su").alias("u"), F.xxhash64("sv").alias("v"))
-    ).cache()
-    prev_fp = _fingerprint(cur)  # one job: materializes the cache + aggs
+    def _truncate(df: DataFrame) -> DataFrame:
+        # LAZY checkpoint: truncates the logical plan immediately (the
+        # iterated plan otherwise grows ~5× per round — the driver then
+        # spends minutes just stringifying plan trees) but defers the
+        # materializing job to the fingerprint agg → one job per iteration.
+        return df.checkpoint(eager=False) if checkpoint_dir else df.localCheckpoint(eager=False)
 
-    to_unpersist = [cur]
-    for it in range(max_iter):
-        stepped = _canonical(_small_star(_large_star(cur)))
-        if (it + 1) % 5 == 0:
-            # periodic hard checkpoint bounds lineage on long convergences
-            stepped = (
-                stepped.checkpoint(eager=False)
-                if checkpoint_dir
-                else stepped.localCheckpoint(eager=False)
-            )
-        stepped = stepped.cache()
+    cur = _truncate(
+        _canonical(str_edges.select(F.xxhash64("su").alias("u"), F.xxhash64("sv").alias("v")))
+    )
+    prev_fp = _fingerprint(cur)  # one job: materializes the checkpoint + aggs
+
+    for _ in range(max_iter):
+        stepped = _truncate(_canonical(_small_star(_large_star(cur))))
         fp = _fingerprint(stepped)  # single job per iteration
         cur = stepped
-        to_unpersist.append(stepped)
         if fp == prev_fp:
             break
         prev_fp = fp
@@ -131,13 +128,7 @@ def connected_components(
     assignments_h = members.union(roots).distinct()
     named = assignments_h.join(nodes, "hid").select("mention_id", "root")
     labels = named.groupBy("root").agg(F.min("mention_id").alias("cluster_id"))
-    out = named.join(labels, "root").select("mention_id", "cluster_id")
-    # the caller consumes `out` lazily; keep the loop caches alive in its
-    # lineage but free them once the result is materialized
-    out = out.localCheckpoint(eager=True) if not checkpoint_dir else out.checkpoint(eager=True)
-    for df in to_unpersist:
-        df.unpersist()
-    return out
+    return named.join(labels, "root").select("mention_id", "cluster_id")
 
 
 def attach_clusters(mentions: DataFrame, assignments: DataFrame) -> DataFrame:

@@ -42,6 +42,29 @@ def _manifest_path(root: str, stage: str) -> str:
     return os.path.join(root, stage, "_manifest.json")
 
 
+# semantic per-stage counters recorded in the manifest (observability /
+# lineage record alongside the per-partition row counts)
+_STAGE_COUNTERS = {
+    "mentions": lambda: [
+        F.count(F.col("pincode")).alias("with_pincode"),
+        F.count(F.col("city")).alias("with_city"),
+        F.count(F.col("locality")).alias("with_locality"),
+    ],
+    "blocked": lambda: [
+        F.countDistinct("block_key").alias("distinct_blocks"),
+        F.countDistinct("join_key").alias("distinct_join_keys"),
+        F.max("block_size").alias("max_block_size"),
+    ],
+    "edges": lambda: [
+        F.min("score").alias("min_score"),
+        F.avg("score").alias("avg_score"),
+    ],
+    "clusters": lambda: [
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    ],
+}
+
+
 def _write_stage(df: DataFrame, root: str, stage: str, input_fp: str) -> DataFrame:
     """Write stage parquet + manifest; return the re-read DataFrame (so the
     downstream plan reads from disk — cutting lineage like a checkpoint)."""
@@ -52,11 +75,17 @@ def _write_stage(df: DataFrame, root: str, stage: str, input_fp: str) -> DataFra
     per_part = (
         out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     )
+    counters = {}
+    agg_exprs = _STAGE_COUNTERS.get(stage)
+    if agg_exprs:
+        row = out.agg(*agg_exprs()).collect()[0]
+        counters = {k: (v if not hasattr(v, "item") else v.item()) for k, v in row.asDict().items()}
     manifest = {
         "stage": stage,
         "input_fingerprint": input_fp,
         "rows": sum(r["count"] for r in per_part),
         "partitions": {str(r["pid"]): r["count"] for r in per_part},
+        "counters": counters,
         "written_at": time.time(),
     }
     with open(_manifest_path(root, stage), "w") as f:
