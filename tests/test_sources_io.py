@@ -18,12 +18,12 @@ class TestTextSources:
 
 class TestGoldJsonl:
     def test_roundtrip(self, spark, tmp_path):
-        samples = generate_gold_tags(n_samples=30)
+        samples = generate_gold_tags(n_samples=30)  # coverage phase may exceed n_samples
         df = spark.createDataFrame(samples, sio.GOLD_SCHEMA)
         out = str(tmp_path / "gold")
         sio.write_gold_jsonl(df, out)
         back = sio.read_gold_jsonl(spark, out)
-        assert back.count() == 30
+        assert back.count() == len(samples)
         assert back.schema == sio.GOLD_SCHEMA
         a = {r["id"]: (r["text"], tuple(r["tokens"]), tuple(r["ner_tags"])) for r in df.collect()}
         b = {r["id"]: (r["text"], tuple(r["tokens"]), tuple(r["ner_tags"])) for r in back.collect()}
@@ -32,11 +32,11 @@ class TestGoldJsonl:
 
 class TestConll:
     def test_roundtrip(self, tmp_path):
-        samples = generate_gold_tags(n_samples=20)
+        samples = generate_gold_tags(n_samples=20)  # may exceed 20 for coverage
         p = str(tmp_path / "gold.conll")
         sio.write_conll_bio(samples, p)
         back = sio.read_conll_bio(p)
-        assert len(back) == 20
+        assert len(back) == len(samples)
         for orig, got in zip(samples, back):
             assert got["tokens"] == orig["tokens"]
             assert got["ner_tags"] == orig["ner_tags"]
