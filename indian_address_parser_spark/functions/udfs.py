@@ -45,13 +45,25 @@ MENTION_SCHEMA = T.StructType(
 )
 
 
-def make_mention_extractor(candidate_fn=None):
-    """Build a ``mapInPandas`` function: pages(url, text) → mentions.
+def mention_schema(passthrough: tuple = ()) -> T.StructType:
+    """MENTION_SCHEMA extended with page-level passthrough columns
+    (e.g. ``warc_ts``) copied verbatim onto every mention of the page."""
+    return T.StructType(list(MENTION_SCHEMA.fields) + [
+        T.StructField(name, dtype) for name, dtype in passthrough
+    ])
+
+
+def make_mention_extractor(candidate_fn=None, passthrough: tuple = ()):
+    """Build a ``mapInPandas`` function: pages(url, text, *extra) → mentions.
 
     ``candidate_fn(text) -> list[str]`` splits a page into parse candidates;
     the default treats each line that looks address-bearing (contains a PIN
     or 'DELHI', length 5..500 per the reference's ParseRequest bounds,
     ``schemas.py:167``) as one mention candidate.
+
+    ``passthrough``: (name, DataType) page columns replicated per mention —
+    carrying e.g. the event-time ``warc_ts`` through the UDF costs zero
+    shuffles, vs the stream-stream re-join on url it replaces.
 
     This is a NARROW operator: no shuffle, Arrow batches in and out, one
     Python worker per core. At 100 TB the scan + this map dominate wall
@@ -62,14 +74,16 @@ def make_mention_extractor(candidate_fn=None):
     if candidate_fn is None:
         candidate_fn = default_candidates
 
-    col_names = [f.name for f in MENTION_SCHEMA.fields]
+    pass_names = [name for name, _ in passthrough]
+    col_names = [f.name for f in MENTION_SCHEMA.fields] + pass_names
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # columnar accumulation: pd.DataFrame(dict-of-lists) is ~5×
             # cheaper than list-of-dicts row assembly in the hot path
             cols: dict[str, list] = {name: [] for name in col_names}
-            for url, text in zip(pdf["url"], pdf["text"]):
+            extras = [pdf[name] for name in pass_names]
+            for url, text, *extra_vals in zip(pdf["url"], pdf["text"], *extras):
                 if text is None:
                     continue
                 for seq, raw in enumerate(candidate_fn(text)):
@@ -82,7 +96,17 @@ def make_mention_extractor(candidate_fn=None):
                     fields = flatten_fields(spans)
                     for name in FLAT_FIELDS:
                         cols[name].append(fields[name])
-            yield pd.DataFrame(cols, columns=col_names)
+                    for name, val in zip(pass_names, extra_vals):
+                        cols[name].append(val)
+            if not cols["url"]:
+                # a batch with zero mentions must keep typed-convertible
+                # columns: pd.DataFrame of empty lists defaults to float64
+                # and Arrow cannot cast float64 → list<struct> (entities)
+                yield pd.DataFrame(
+                    {name: pd.Series([], dtype=object) for name in col_names}
+                )
+            else:
+                yield pd.DataFrame(cols, columns=col_names)
 
     return extract
 
@@ -106,16 +130,17 @@ def default_candidates(text: str) -> list[str]:
 
 @F.pandas_udf(T.DoubleType())
 def _jaro_winkler_impl(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Vectorized Jaro-Winkler (DuckDB-parity, see core.fuzzy)."""
-    from indian_address_parser_spark.core.fuzzy import jaro_winkler
+    """Vectorized Jaro-Winkler (DuckDB-parity, see core.fuzzy).
 
-    return pd.Series(
-        [
-            jaro_winkler(x, y) if x is not None and y is not None else None
-            for x, y in zip(a, b)
-        ],
-        dtype="float64",
-    )
+    The kernel loops over character positions, not rows — whole-batch numpy
+    ops per position (``fuzzy.jaro_winkler_batch``), so the Arrow batch is
+    processed as a block. NaN (null) where either side is null.
+    """
+    from indian_address_parser_spark.core.fuzzy import jaro_winkler_batch
+
+    av = [x if isinstance(x, str) else None for x in a]
+    bv = [x if isinstance(x, str) else None for x in b]
+    return pd.Series(jaro_winkler_batch(av, bv), dtype="float64")
 
 
 # The function IS deterministic; the flag stops Catalyst from cloning the

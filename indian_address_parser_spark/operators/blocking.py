@@ -55,12 +55,16 @@ def with_block_key(mentions: DataFrame, max_block_size: int = 200) -> DataFrame:
             _soundex_or_empty(F.col("locality")),
         ),
     )
-    # One cheap partial-aggregated pass for block sizes; broadcast back.
-    # At 10^12 rows the distinct-block-key table is ~|pincode×city×soundex|,
-    # a few million rows — still broadcastable; if not, this join degrades
-    # gracefully to a shuffle on the same key the next stage shuffles on.
-    sizes = keyed.groupBy("block_key").agg(F.count("*").alias("block_size"))
-    keyed = keyed.join(F.broadcast(sizes), "block_key")
+    # Block sizes via a window count: ONE shuffle on block_key (which the
+    # candidate join re-shuffles on anyway), no second scan, and — unlike a
+    # forced F.broadcast of the size aggregate — no driver-OOM cliff if the
+    # distinct-key estimate is wrong at 10^12 rows. AQE remains free to pick
+    # a broadcast if it ever rewrites this into a join.
+    from pyspark.sql import Window
+
+    keyed = keyed.withColumn(
+        "block_size", F.count("*").over(Window.partitionBy("block_key"))
+    )
 
     # digit signatures computed ONCE per mention (used as the secondary
     # blocking component and as scoring hard features — hoisting them out

@@ -92,15 +92,6 @@ def connected_components(
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    str_edges = edges.select(
-        F.col(src).cast("string").alias("su"), F.col(dst).cast("string").alias("sv")
-    )
-    nodes = (
-        str_edges.select(F.col("su").alias("mention_id"))
-        .union(str_edges.select(F.col("sv").alias("mention_id")))
-        .distinct()
-        .withColumn("hid", F.xxhash64("mention_id"))
-    )
     def _truncate(df: DataFrame) -> DataFrame:
         # LAZY checkpoint: truncates the logical plan immediately (the
         # iterated plan otherwise grows ~5× per round — the driver then
@@ -108,27 +99,63 @@ def connected_components(
         # materializing job to the fingerprint agg → one job per iteration.
         return df.checkpoint(eager=False) if checkpoint_dir else df.localCheckpoint(eager=False)
 
-    cur = _truncate(
-        _canonical(str_edges.select(F.xxhash64("su").alias("u"), F.xxhash64("sv").alias("v")))
+    # Checkpoint the INPUT edge list first: `nodes`, the initial star graph
+    # and the final label joins all branch off it. Without this every branch
+    # re-executes the full upstream plan (which for the query path includes
+    # the Python-UDF scoring join — measured 3× recompute, the dominant cost
+    # of the clusters query at sf0.1).
+    str_edges = _truncate(
+        edges.select(
+            F.col(src).cast("string").alias("su"), F.col(dst).cast("string").alias("sv")
+        )
     )
-    prev_fp = _fingerprint(cur)  # one job: materializes the checkpoint + aggs
+    nodes = (
+        str_edges.select(F.col("su").alias("mention_id"))
+        .union(str_edges.select(F.col("sv").alias("mention_id")))
+        .distinct()
+        .withColumn("hid", F.xxhash64("mention_id"))
+    )
 
-    for _ in range(max_iter):
-        stepped = _truncate(_canonical(_small_star(_large_star(cur))))
-        fp = _fingerprint(stepped)  # single job per iteration
-        cur = stepped
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+    # The star iterations shuffle a tiny, shrinking edge list (8-byte pairs).
+    # Let AQE size those shuffles by BYTES rather than forcing the session's
+    # core-count partition floor — at sf-bench scale that floor makes every
+    # micro-shuffle schedule 32+ tasks of a few KB each, and the loop becomes
+    # pure task-launch overhead (the measured reason CC didn't scale 4→16
+    # cores). On a real cluster the same byte-based sizing picks hundreds of
+    # partitions for a 10^10-edge graph — the setting is scale-correct, not a
+    # local hack. Restored after the loop.
+    floor_key = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
+    old_floor = spark.conf.get(floor_key, None)
+    spark.conf.set(floor_key, "1")
+    try:
+        cur = _truncate(
+            _canonical(str_edges.select(F.xxhash64("su").alias("u"), F.xxhash64("sv").alias("v")))
+        )
+        prev_fp = _fingerprint(cur)  # one job: materializes the checkpoint + aggs
 
-    # Converged star graph: every edge is (node-hash → root-hash). Map back
-    # to string ids and label each component by its minimum string id.
-    members = cur.select(F.col("u").alias("hid"), F.col("v").alias("root"))
-    roots = cur.select(F.col("v").alias("hid")).distinct().withColumn("root", F.col("hid"))
-    assignments_h = members.union(roots).distinct()
-    named = assignments_h.join(nodes, "hid").select("mention_id", "root")
-    labels = named.groupBy("root").agg(F.min("mention_id").alias("cluster_id"))
-    return named.join(labels, "root").select("mention_id", "cluster_id")
+        for _ in range(max_iter):
+            stepped = _truncate(_canonical(_small_star(_large_star(cur))))
+            fp = _fingerprint(stepped)  # single job per iteration
+            cur = stepped
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+
+        # Converged star graph: every edge is (node-hash → root-hash). Map back
+        # to string ids and label each component by its minimum string id.
+        members = cur.select(F.col("u").alias("hid"), F.col("v").alias("root"))
+        roots = cur.select(F.col("v").alias("hid")).distinct().withColumn("root", F.col("hid"))
+        assignments_h = members.union(roots).distinct()
+        # `named` feeds both the label agg and the final join — checkpoint it
+        # so the hash→string join runs once, not twice.
+        named = _truncate(assignments_h.join(nodes, "hid").select("mention_id", "root"))
+        labels = named.groupBy("root").agg(F.min("mention_id").alias("cluster_id"))
+        return named.join(labels, "root").select("mention_id", "cluster_id")
+    finally:
+        if old_floor is None:
+            spark.conf.unset(floor_key)
+        else:
+            spark.conf.set(floor_key, old_floor)
 
 
 def attach_clusters(mentions: DataFrame, assignments: DataFrame) -> DataFrame:

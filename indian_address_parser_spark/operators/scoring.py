@@ -25,14 +25,17 @@ from pyspark.sql import functions as F
 from indian_address_parser_spark.functions.udfs import jaro_winkler_udf
 
 # (field, weight, digit_guarded, use_jw)
-# use_jw=False throughout the PIPELINE scorer: F.levenshtein keeps the whole
-# scoring stage inside whole-stage codegen. A Python JW UDF here measurably
-# anti-scales — 32 concurrent Python workers contending with the join's JVM
-# threads ran 3-10× slower than 8 (see BENCH/BASELINE.md); the JW UDF remains
-# available for per-query use where volumes are small.
+# Jaro-Winkler (prefix-weighted, the north star's named similarity) runs on
+# house_no/street — but only AFTER the JVM digit-signature prune below has
+# dropped the overwhelmingly-cross-household bulk of each block: the Arrow
+# JW kernel (numpy position-loop, fuzzy.jaro_winkler_batch) then sees a tiny
+# survivor set. Running a Python UDF on the UNPRUNED pair stream measurably
+# anti-scaled (32 Python workers contending with the join's JVM threads ran
+# 3-10× slower than 8 — see BENCH/BASELINE.md); post-prune it is noise.
+# Levenshtein (F.levenshtein, whole-stage codegen) covers the wide fields.
 FIELD_WEIGHTS = (
-    ("house_no", 0.30, True, False),
-    ("street", 0.15, True, False),
+    ("house_no", 0.30, True, True),
+    ("street", 0.15, True, True),
     ("locality", 0.25, False, False),
     ("city", 0.10, False, False),
     ("state", 0.03, False, False),

@@ -3,15 +3,17 @@
 The reference's trained weights are stripped from its repo
 (``/root/reference/.MISSING_LARGE_BLOBS``; both its API and demo fall back
 to rules-only — ``api/main.py:47-58``, ``src/address_parser/pipeline.py:
-121-133``), so the deterministic path is ``RulesTagger`` and the BERT-CRF
-path is a pluggable surface: batched Arrow UDF, model loaded once per
-Python worker (mirroring the reference API's load-once lifespan), Viterbi
-decode via the model's ``decode``, BIO→span conversion via the shared
-``core.extractor.bio_decode`` (E7 semantics).
+121-133``), so the deterministic parity path is ``RulesTagger``.
 
-``BertCrfTagger`` requires torch+transformers (absent in this container) —
-construction raises cleanly without them; ``FakeSequenceTagger`` drives the
-identical decode path in tests so the Spark plumbing is exercised.
+``BertCrfTagger`` is nonetheless fully RUNNABLE: the complete inference
+stack (WordPiece tokenizer with offset mappings, BERT encoder, linear
+head, CRF Viterbi decode) is re-implemented in numpy in
+``operators/bert_crf_np.py`` and loaded from a directory checkpoint —
+batched Arrow UDF, model loaded once per Python worker (mirroring the
+reference API's load-once lifespan), BIO→span conversion via the shared
+``core.extractor.bio_decode`` (E7 semantics). Tests drive it end-to-end
+with deterministic seeded weights; a trained export drops into the same
+checkpoint directory on a real cluster.
 """
 
 from __future__ import annotations
@@ -52,57 +54,39 @@ class FakeSequenceTagger:
 
 
 class BertCrfTagger:
-    """BERT-CRF tagger surface (reference ``pipeline.py:233-270``).
+    """BERT-CRF tagger (reference ``pipeline.py:233-270``), numpy inference.
 
-    Loads lazily per process: tokenizer + model once, batch tokenize with
-    offset mappings, ``model.decode`` (CRF Viterbi), then shared BIO decode.
+    Loads lazily ONCE per Python worker from a directory checkpoint
+    (``operators/bert_crf_np.py`` — tokenizer + encoder + linear head +
+    CRF Viterbi, reference ``bert_crf.py:177-222,296-356,395-439``), batch
+    tokenizes with offset mappings, Viterbi-decodes whole Arrow batches as
+    tensor ops, then converts BIO tags to spans via the shared
+    ``core.extractor.bio_decode`` (E7 semantics). Torch-free: runs on any
+    executor image.
     """
 
-    def __init__(self, model_path: str, max_length: int = 128, device: str = "cpu"):
-        try:
-            import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as e:  # pragma: no cover - absent in this container
-            raise ImportError(
-                "BertCrfTagger requires torch+transformers; use RulesTagger "
-                "or provide the dependencies on the cluster image"
-            ) from e
+    def __init__(self, model_path: str, max_length: int | None = None):
         self.model_path = model_path
         self.max_length = max_length
-        self.device = device
         self._model = None
-        self._tokenizer = None
 
-    def _load(self):  # pragma: no cover - needs torch
-        from transformers import AutoTokenizer
+    def _load(self):
+        from indian_address_parser_spark.operators.bert_crf_np import BertCrfModel
 
-        self._tokenizer = AutoTokenizer.from_pretrained(self.model_path)
-        raise NotImplementedError(
-            "model weights are not shipped with the reference repo "
-            "(.MISSING_LARGE_BLOBS); plug a trained checkpoint here"
-        )
+        self._model = BertCrfModel.from_pretrained(self.model_path)
 
-    def tag_batch(self, texts: list[str]) -> list[list[Span]]:  # pragma: no cover
+    def tag_batch(self, texts: list[str]) -> list[list[Span]]:
         if self._model is None:
             self._load()
-        encoding = self._tokenizer(
-            texts,
-            truncation=True,
-            max_length=self.max_length,
-            return_offsets_mapping=True,
-            padding=True,
-            return_tensors="pt",
+        predictions, offsets, masks = self._model.decode_texts(
+            texts, max_length=self.max_length
         )
-        offsets = encoding.pop("offset_mapping").tolist()
-        masks = encoding["attention_mask"].tolist()
-        predictions = self._model.decode(
-            input_ids=encoding["input_ids"].to(self.device),
-            attention_mask=encoding["attention_mask"].to(self.device),
-        )
-        return [
-            bio_decode(text, pred, off, mask)
-            for text, pred, off, mask in zip(texts, predictions, offsets, masks)
-        ]
+        out = []
+        for row, (text, pred) in enumerate(zip(texts, predictions)):
+            off = [tuple(o) for o in offsets[row]]
+            mask = list(masks[row])
+            out.append(bio_decode(text, [int(t) for t in pred], off, mask))
+        return out
 
 
 def make_tagger_udf(tagger_factory: Callable[[], object], apply_refine: bool = True):

@@ -24,22 +24,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from indian_address_parser_spark.functions.udfs import MENTION_SCHEMA, make_mention_extractor
+from pyspark.sql import types as T
+
+from indian_address_parser_spark.functions.udfs import make_mention_extractor, mention_schema
 
 
 def stream_extract_mentions(pages_stream: DataFrame, candidate_fn=None) -> DataFrame:
-    """Streaming pages(url, warc_ts, text, ...) → mentions (+ warc_ts carried)."""
+    """Streaming pages(url, warc_ts, text, ...) → mentions (+ warc_ts carried).
+
+    ``warc_ts`` rides THROUGH the mapInPandas UDF as a passthrough column —
+    a re-join on url here would be a stream-stream join (watermark state +
+    an extra shuffle) between two branches of the same source; the
+    passthrough costs zero shuffles and keeps the operator narrow.
+    """
+    passthrough = (("warc_ts", T.TimestampType()),)
     src = pages_stream.select("url", "warc_ts", "text").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    # carry warc_ts through the UDF by joining it back on url afterwards
-    # would shuffle; instead extend the UDF input — mapInPandas keeps all
-    # input columns available, so pass through via a composite call
-    extracted = src.select("url", "text").mapInPandas(
-        make_mention_extractor(candidate_fn), MENTION_SCHEMA
+    extracted = src.mapInPandas(
+        make_mention_extractor(candidate_fn, passthrough=passthrough),
+        mention_schema(passthrough),
     )
-    ts = src.select("url", "warc_ts")
-    return extracted.join(ts, "url").withColumn(
+    return extracted.withColumn(
         "mention_id",
         F.concat_ws("#", F.col("url"), F.col("mention_seq").cast("string")),
     )

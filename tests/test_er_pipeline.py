@@ -213,3 +213,57 @@ class TestConnectedComponents:
         out = attach_clusters(mentions, connected_components(edges))
         got = {r["mention_id"]: r["cluster_id"] for r in out.collect()}
         assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+class TestEmptyBatches:
+    def test_extract_zero_mention_partitions(self, spark):
+        """A partition whose pages contain NO address mentions must yield a
+        typed empty Arrow batch (regression: pd.DataFrame of empty lists
+        defaults to float64 and Arrow cannot cast float64 → the entities
+        list<struct> — crashed any address-free partition)."""
+        from indian_address_parser_spark.operators.extract import extract_mentions
+
+        pages = spark.createDataFrame(
+            [("http://x", "nothing here"), ("http://y", "plain text")],
+            ["url", "text"],
+        ).repartition(4)
+        out = extract_mentions(pages)
+        assert out.count() == 0
+        assert "entities" in [f.name for f in out.schema.fields]
+
+    def test_streaming_extract_no_join_and_warc_ts_passthrough(self, spark, tmp_path):
+        """warc_ts rides through the mapInPandas UDF: no Join node in the
+        streaming plan, and the deduped sink carries the event time."""
+        import pyspark.sql.functions as F
+
+        from indian_address_parser_spark.streaming.stream import (
+            stream_dedup_mentions,
+            stream_extract_mentions,
+        )
+
+        src = str(tmp_path / "src")
+        pages = spark.createDataFrame(
+            [
+                ("http://a", "2024-01-01 00:00:00", "H NO 45, LAJPAT NAGAR, NEW DELHI 110024"),
+                ("http://b", "2024-01-01 00:01:00", "no address here"),
+                ("http://a", "2024-01-01 00:02:00", "H NO 45, LAJPAT NAGAR, NEW DELHI 110024"),
+            ],
+            ["url", "ts", "text"],
+        ).withColumn("warc_ts", F.col("ts").cast("timestamp")).drop("ts")
+        pages.write.parquet(src)
+        stream = spark.readStream.schema(pages.schema).parquet(src)
+        mentions = stream_dedup_mentions(stream_extract_mentions(stream))
+        assert "Join" not in mentions._jdf.queryExecution().analyzed().toString()
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = (
+            mentions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        res = spark.read.parquet(out)
+        rows = res.select("mention_id", "warc_ts").collect()
+        assert len(rows) == 1 and rows[0]["mention_id"] == "http://a#0"
+        assert rows[0]["warc_ts"] is not None
