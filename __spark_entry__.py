@@ -7,10 +7,11 @@ sf0.001 documents.
 
 ``queries``/``oracle_sql``: one entry per operator family from SURVEY.md §2;
 every SQL-expressible one carries a DuckDB oracle (validated locally by
-``scripts/check_oracle.py`` — 24/24 hash-match at sf0.001 and sf0.01).
+``scripts/check_oracle.py`` — 29/29 hash-match at sf0.001 and sf0.01).
 Rows-only entries (genuinely non-SQL semantics): the full synthetic-pages
-pipeline with soundex blocking and the reference's complete rules-extraction
-path, which DuckDB cannot reproduce (stateful refinement, fuzzy gazetteer).
+pipeline with soundex blocking, the reference's complete rules-extraction
+path (stateful refinement + fuzzy gazetteer, which DuckDB cannot
+reproduce), and the numpy BERT-CRF tagger (transformer forward + Viterbi).
 """
 
 from __future__ import annotations
@@ -64,12 +65,43 @@ def _er_extract_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _er_bertcrf_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the numpy BERT-CRF tagger (E3-E5 — WordPiece tokenize,
+    transformer emissions, CRF Viterbi, BIO decode) over derived addresses,
+    with a deterministic seeded checkpoint (reference weights are not
+    shipped). Deterministic output: per-doc entity count + label sequence."""
+    import pyspark.sql.functions as F
+
+    from indian_address_parser_spark.operators.bert_crf_np import make_random_checkpoint
+    from indian_address_parser_spark.operators.tagger import BertCrfTagger, tag_texts
+    from indian_address_parser_spark.queries import q_er_synth_addr
+
+    ckpt = "/tmp/spark_graft_bertcrf_ckpt_v1"
+    if not os.path.exists(os.path.join(ckpt, "config.json")):
+        vocab = [
+            "H", "NO", "HOUSE", "GALI", "LANE", "BLOCK", "SECTOR", "NEW",
+            "DELHI", "NAGAR", "COLONY", "PARK", "ENCLAVE", ",", ".", "-",
+        ] + [str(n) for n in range(100)]
+        make_random_checkpoint(ckpt, vocab, seed=7)
+    # doc_id filter, not limit(): limit takes arbitrary rows across partitions
+    addrs = q_er_synth_addr(spark, sf_dir).where(F.col("doc_id") < 200)
+    tagged = tag_texts(
+        addrs.select(F.col("addr").alias("text")), lambda: BertCrfTagger(ckpt)
+    )
+    return tagged.select(
+        "text",
+        F.size("entities").alias("n_entities"),
+        F.concat_ws("|", F.transform("entities", lambda e: e["label"])).alias("labels"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from indian_address_parser_spark.queries import SPARK_QUERIES
 
     out = dict(SPARK_QUERIES)
     out["er_pipeline_full"] = _er_pipeline_full
     out["er_extract_mentions"] = _er_extract_mentions
+    out["er_bertcrf_tag"] = _er_bertcrf_tag
     return out
 
 

@@ -76,9 +76,11 @@ def run_er_pipeline(spark, n_households: int) -> dict:
 
     stage_secs: dict[str, float] = {}
     t0 = time.perf_counter()
-    # cache the fan-out points: blocking and the pair self-join each consume
-    # their input twice (run_pipeline gets the same effect from its stage
-    # parquet checkpoints)
+    # cache the two true fan-out points: mentions (feed blocking AND the
+    # final cluster attach) and blocked (the pair self-join consumes it
+    # twice — uncached, BOTH join branches would re-run the block-size
+    # aggregation+join). scoring + CC stay fused: edges stream straight
+    # into the star loop's input checkpoint, no extra materialization.
     t = time.perf_counter()
     mentions = extract_mentions(pages).cache()
     mentions.count()
@@ -88,17 +90,13 @@ def run_er_pipeline(spark, n_households: int) -> dict:
     blocked.count()
     stage_secs["block"] = round(time.perf_counter() - t, 1)
     t = time.perf_counter()
-    edges = score_pairs(candidate_pairs(blocked)).cache()
-    edges.count()
-    stage_secs["score"] = round(time.perf_counter() - t, 1)
-    t = time.perf_counter()
+    edges = score_pairs(candidate_pairs(blocked))
     clusters = attach_clusters(mentions.select("mention_id"), connected_components(edges))
     n_clusters = _consume(clusters)
-    stage_secs["cc"] = round(time.perf_counter() - t, 1)
+    stage_secs["link"] = round(time.perf_counter() - t, 1)
     secs = time.perf_counter() - t0
     mentions.unpersist()
     blocked.unpersist()
-    edges.unpersist()
     return {
         "pages": n_pages,
         "clusters": n_clusters,

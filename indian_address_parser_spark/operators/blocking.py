@@ -55,16 +55,15 @@ def with_block_key(mentions: DataFrame, max_block_size: int = 200) -> DataFrame:
             _soundex_or_empty(F.col("locality")),
         ),
     )
-    # Block sizes via a window count: ONE shuffle on block_key (which the
-    # candidate join re-shuffles on anyway), no second scan, and — unlike a
-    # forced F.broadcast of the size aggregate — no driver-OOM cliff if the
-    # distinct-key estimate is wrong at 10^12 rows. AQE remains free to pick
-    # a broadcast if it ever rewrites this into a join.
-    from pyspark.sql import Window
-
-    keyed = keyed.withColumn(
-        "block_size", F.count("*").over(Window.partitionBy("block_key"))
-    )
+    # Block sizes via a partial-aggregated count joined back HINT-FREE: AQE
+    # broadcasts the size table while it fits (it is |distinct block keys|)
+    # and degrades to a skew-split shuffle join when it does not — no
+    # driver-OOM cliff like a forced F.broadcast, and no single-task sort
+    # like a window count (window partitions are NOT skew-splittable: the
+    # dominant-metro mega-block serialized the whole stage when this was a
+    # Window.partitionBy count — measured 8× stage regression at 32 cores).
+    sizes = keyed.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    keyed = keyed.join(sizes, "block_key")
 
     # digit signatures computed ONCE per mention (used as the secondary
     # blocking component and as scoring hard features — hoisting them out

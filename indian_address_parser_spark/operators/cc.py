@@ -116,17 +116,20 @@ def connected_components(
         .withColumn("hid", F.xxhash64("mention_id"))
     )
 
-    # The star iterations shuffle a tiny, shrinking edge list (8-byte pairs).
-    # Let AQE size those shuffles by BYTES rather than forcing the session's
-    # core-count partition floor — at sf-bench scale that floor makes every
-    # micro-shuffle schedule 32+ tasks of a few KB each, and the loop becomes
-    # pure task-launch overhead (the measured reason CC didn't scale 4→16
-    # cores). On a real cluster the same byte-based sizing picks hundreds of
-    # partitions for a 10^10-edge graph — the setting is scale-correct, not a
-    # local hack. Restored after the loop.
+    # The star iterations shuffle a small, shrinking edge list (8-byte
+    # pairs). The session pins AQE's coalesce floor at the core count, which
+    # makes every micro-shuffle schedule cores×tasks of a few KB each — pure
+    # task-launch overhead (the measured reason CC didn't scale 4→16 cores
+    # in round 1). Relax the floor to cores/4 for the loop: AQE can then
+    # coalesce by bytes but never serializes a round onto one thread
+    # (floor=1 measured 1.7× slower than cores/4 — a mid-size edge list
+    # collapsed to a single partition). On a real cluster a 10^10-edge graph
+    # exceeds the advisory partition size and AQE keeps hundreds of
+    # partitions regardless — the floor only matters at the small end.
+    # Restored after the loop.
     floor_key = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
     old_floor = spark.conf.get(floor_key, None)
-    spark.conf.set(floor_key, "1")
+    spark.conf.set(floor_key, str(max(2, spark.sparkContext.defaultParallelism // 4)))
     try:
         cur = _truncate(
             _canonical(str_edges.select(F.xxhash64("su").alias("u"), F.xxhash64("sv").alias("v")))
@@ -150,7 +153,12 @@ def connected_components(
         # so the hash→string join runs once, not twice.
         named = _truncate(assignments_h.join(nodes, "hid").select("mention_id", "root"))
         labels = named.groupBy("root").agg(F.min("mention_id").alias("cluster_id"))
-        return named.join(labels, "root").select("mention_id", "cluster_id")
+        # Checkpoint the result too: the caller's first action otherwise
+        # re-plans the twice-referenced lazy `named` checkpoint inside one
+        # job — measured ~10× slower than consuming the truncated plan.
+        return _truncate(
+            named.join(labels, "root").select("mention_id", "cluster_id")
+        )
     finally:
         if old_floor is None:
             spark.conf.unset(floor_key)

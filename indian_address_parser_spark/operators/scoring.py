@@ -74,8 +74,30 @@ _W_HOUSE = dict((f, w) for f, w, _, _ in FIELD_WEIGHTS)["house_no"]
 _HOUSE_MISMATCH_CEILING = (_W_TOTAL - _W_HOUSE) / _W_TOTAL
 
 
+def _weight_col(field: str, weight: float) -> Column:
+    return F.when(
+        F.col(f"{field}_a").isNotNull() & F.col(f"{field}_b").isNotNull(),
+        F.lit(weight),
+    ).otherwise(F.lit(0.0))
+
+
 def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
-    """→ edges(src, dst, score) for pairs scoring ≥ threshold."""
+    """→ edges(src, dst, score) for pairs scoring ≥ threshold.
+
+    Two-stage plan when Jaro-Winkler fields are enabled:
+      1. JVM stage (whole-stage codegen, inside the pair-join stage): the
+         digit-signature prune, every Levenshtein field term, and the weight
+         normalizer — projected down to (ids, JW inputs, partial sums).
+      2. A round-robin exchange of that NARROW projection (~6 short strings
+         per row instead of the full 24-column pair payload), then the Arrow
+         JW kernel + threshold filter. The exchange exists because the UDF
+         would otherwise run inside the join's output stage at whatever
+         partition count AQE coalesced to — measured serial (flat 12s at 8
+         and 32 cores); fanned out it is sub-second per core.
+    """
+    jw_fields = [(f, w, g) for f, w, g, jw in FIELD_WEIGHTS if jw]
+    jvm_fields = [(f, w, g) for f, w, g, jw in FIELD_WEIGHTS if not jw]
+
     if threshold > _HOUSE_MISMATCH_CEILING:
         # Exact JVM-side prune: a pair whose house digit-signatures are both
         # present and unequal can never reach the threshold, so drop it
@@ -87,24 +109,57 @@ def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataF
             | F.col("house_no_b").isNull()
             | (F.col("house_no_digits_a") == F.col("house_no_digits_b"))
         )
-    sim_cols = []
-    weight_cols = []
-    for field, weight, guarded, use_jw in FIELD_WEIGHTS:
-        sim = field_similarity(field, guarded, use_jw)
-        sim_cols.append(F.coalesce(sim * F.lit(weight), F.lit(0.0)))
-        weight_cols.append(
-            F.when(
-                F.col(f"{field}_a").isNotNull() & F.col(f"{field}_b").isNotNull(),
-                F.lit(weight),
-            ).otherwise(F.lit(0.0))
-        )
 
-    total_sim = sum(sim_cols[1:], sim_cols[0])
+    jvm_terms = [
+        F.coalesce(field_similarity(f, g, False) * F.lit(w), F.lit(0.0))
+        for f, w, g in jvm_fields
+    ]
+    partial_sim = sum(jvm_terms[1:], jvm_terms[0]) if jvm_terms else F.lit(0.0)
+    weight_cols = [_weight_col(f, w) for f, w, _, _ in FIELD_WEIGHTS]
     total_weight = sum(weight_cols[1:], weight_cols[0])
 
-    scored = pairs.withColumn(
+    if not jw_fields:
+        scored = pairs.withColumn(
+            "score",
+            F.when(total_weight > 0, partial_sim / total_weight).otherwise(F.lit(0.0)),
+        )
+        return scored.where(F.col("score") >= F.lit(threshold)).select(
+            F.col("mention_id_a").alias("src"),
+            F.col("mention_id_b").alias("dst"),
+            F.round("score", 6).alias("score"),
+        )
+
+    # guard booleans resolved JVM-side so only the raw strings cross the wire
+    narrow_cols = [
+        F.col("mention_id_a"),
+        F.col("mention_id_b"),
+        partial_sim.alias("partial_sim"),
+        total_weight.alias("total_weight"),
+    ]
+    for f, _, guarded in jw_fields:
+        narrow_cols += [F.col(f"{f}_a"), F.col(f"{f}_b")]
+        ok = F.col(f"{f}_a").isNotNull() & F.col(f"{f}_b").isNotNull()
+        if guarded:
+            ok = ok & (F.col(f"{f}_digits_a") == F.col(f"{f}_digits_b"))
+        narrow_cols.append(ok.alias(f"{f}_jw_ok"))
+
+    narrow = pairs.select(narrow_cols).repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism
+    )
+
+    jw_terms = [
+        F.when(
+            F.col(f"{f}_jw_ok"),
+            jaro_winkler_udf(F.col(f"{f}_a"), F.col(f"{f}_b")) * F.lit(w),
+        ).otherwise(F.lit(0.0))
+        for f, w, _ in jw_fields
+    ]
+    total_sim = sum(jw_terms, F.col("partial_sim"))
+    scored = narrow.withColumn(
         "score",
-        F.when(total_weight > 0, total_sim / total_weight).otherwise(F.lit(0.0)),
+        F.when(F.col("total_weight") > 0, total_sim / F.col("total_weight")).otherwise(
+            F.lit(0.0)
+        ),
     )
     return scored.where(F.col("score") >= F.lit(threshold)).select(
         F.col("mention_id_a").alias("src"),

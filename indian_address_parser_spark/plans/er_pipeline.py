@@ -65,13 +65,56 @@ _STAGE_COUNTERS = {
 }
 
 
-def _write_stage(df: DataFrame, root: str, stage: str, input_fp: str) -> DataFrame:
-    """Write stage parquet + manifest; return the re-read DataFrame (so the
-    downstream plan reads from disk — cutting lineage like a checkpoint)."""
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the classpath (the
+    north star checkpoints stages to Iceberg; this sandbox has no jar, so
+    the parquet+manifest path below is the tested fallback)."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _write_stage(
+    df: DataFrame,
+    root: str,
+    stage: str,
+    input_fp: str,
+    iceberg_prefix: str | None = None,
+) -> DataFrame:
+    """Write stage output + manifest; return the re-read DataFrame (so the
+    downstream plan reads from storage — cutting lineage like a checkpoint).
+
+    With ``iceberg_prefix`` (e.g. ``catalog.db``) AND the Iceberg runtime on
+    the classpath, stages land in Iceberg tables and the manifest records
+    the snapshot id (ACID commit + time-travel for resume); otherwise plain
+    parquet. The manifest is written either way — it carries the lineage
+    counters Iceberg's own snapshot summary does not."""
+    spark = df.sparkSession
+    storage: dict = {"format": "parquet"}
+    if iceberg_prefix and iceberg_available(spark):  # pragma: no cover - needs jar
+        table = f"{iceberg_prefix}.{stage}"
+        df.writeTo(table).using("iceberg").createOrReplace()
+        out = spark.read.table(table)
+        snap = (
+            spark.sql(f"SELECT snapshot_id FROM {table}.snapshots "
+                      "ORDER BY committed_at DESC LIMIT 1").collect()
+        )
+        storage = {"format": "iceberg", "table": table,
+                   "snapshot_id": snap[0][0] if snap else None}
+        return _finish_manifest(out, root, stage, input_fp, storage)
     path = os.path.join(root, stage)
     df.write.mode("overwrite").parquet(path)
-    spark = df.sparkSession
     out = spark.read.parquet(path)
+    return _finish_manifest(out, root, stage, input_fp, storage)
+
+
+def _finish_manifest(
+    out: DataFrame, root: str, stage: str, input_fp: str, storage: dict
+) -> DataFrame:
     per_part = (
         out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     )
@@ -86,8 +129,10 @@ def _write_stage(df: DataFrame, root: str, stage: str, input_fp: str) -> DataFra
         "rows": sum(r["count"] for r in per_part),
         "partitions": {str(r["pid"]): r["count"] for r in per_part},
         "counters": counters,
+        "storage": storage,
         "written_at": time.time(),
     }
+    os.makedirs(os.path.join(root, stage), exist_ok=True)
     with open(_manifest_path(root, stage), "w") as f:
         json.dump(manifest, f)
     return out
@@ -121,9 +166,12 @@ def run_pipeline(
     max_block_size: int = 200,
     labeled_pairs: DataFrame | None = None,
     resume: bool = True,
+    iceberg_prefix: str | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns stage row counts, timings
-    and (if labeled_pairs given) pairwise P/R/F1."""
+    and (if labeled_pairs given) pairwise P/R/F1. ``iceberg_prefix`` opts
+    stage checkpoints into Iceberg tables when the runtime jar is present
+    (see _write_stage); manifests drive resume either way."""
     os.makedirs(work_dir, exist_ok=True)
     fp = _input_fingerprint(pages)
     report: dict = {"input_fingerprint": fp, "stages": {}, "resumed": []}
@@ -132,12 +180,15 @@ def run_pipeline(
         path = os.path.join(work_dir, name)
         if resume and _stage_valid(work_dir, name, fp):
             report["resumed"].append(name)
-            out = spark.read.parquet(path)
             with open(_manifest_path(work_dir, name)) as f:
-                report["stages"][name] = json.load(f)
-            return out
+                manifest = json.load(f)
+            report["stages"][name] = manifest
+            storage = manifest.get("storage", {})
+            if storage.get("format") == "iceberg":  # pragma: no cover - needs jar
+                return spark.read.table(storage["table"])
+            return spark.read.parquet(path)
         t0 = time.perf_counter()
-        out = _write_stage(build(), work_dir, name, fp)
+        out = _write_stage(build(), work_dir, name, fp, iceberg_prefix)
         with open(_manifest_path(work_dir, name)) as f:
             report["stages"][name] = json.load(f)
         report["stages"][name]["seconds"] = time.perf_counter() - t0

@@ -45,10 +45,12 @@ def get_spark(
         # 20% faster extraction at 16 cores vs the 4096 default
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.sql.session.timeZone", "UTC")
-        # local mode = driver only; a tight heap makes wide joins GC-bound
-        # as concurrency rises (measured: 5× stage slowdown at 16 threads
-        # with 24g) — size generously on the 128 GiB sandbox
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+        # local mode = driver only. Heap size is a measured trade-off: 24g
+        # was GC-bound on the wide pair join at 16 threads (round 1), while
+        # 64g made 32-thread python extraction ~27% SLOWER than 32g (G1
+        # region/footprint effects at high worker counts). 32g is the
+        # sweet spot on this 128 GiB box.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

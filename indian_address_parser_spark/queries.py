@@ -343,6 +343,158 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return j.where(F.col("jaccard") >= 0.5).select("id_a", "id_b", "jaccard")
 
 
+N_PERMS = 128  # crawl-grade MinHash: 128 permutations, 32 bands × 4 rows
+N_BANDS = 32
+DF_CAP = 50  # shingle document-frequency cap (see q_dedup_ngram_jaccard)
+
+
+def _minhash_sig(spark, sf_dir, n_perms: int) -> DataFrame:
+    """Parameterized MinHash signatures: one hash-agg pass, ``n_perms``
+    partial-aggregated mins — scale shape is a single groupBy regardless of
+    permutation count. md5 (not xxhash64) so DuckDB reproduces it exactly."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"mh{seed}")
+        for seed in range(n_perms)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_dedup_minhash128_band_pairs(spark, sf_dir):
+    """Crawl-grade LSH near-dup candidates: 128-perm MinHash in 32 bands of
+    r=4 (P[pair surfaces] = 1-(1-j^4)^32 — ~0.5 crossover at j≈0.59).
+    Bucketed band join, never all-pairs: scales as sum of bucket sizes²."""
+    r = N_PERMS // N_BANDS
+    sig = _minhash_sig(spark, sf_dir, N_PERMS)
+    band_cols = [
+        F.concat_ws(
+            "|", F.lit(str(b)), *[F.col(f"mh{b * r + i}") for i in range(r)]
+        )
+        for b in range(N_BANDS)
+    ]
+    stacked = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
+    a = stacked.select(F.col("doc_id").alias("id_a"), "band")
+    b = stacked.select(F.col("doc_id").alias("id_b"), F.col("band").alias("bd"))
+    return (
+        a.join(b, (F.col("band") == F.col("bd")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def q_dedup_ngram_jaccard_dfcap(spark, sf_dir):
+    """N-gram Jaccard with a shingle document-frequency cap: shingles seen in
+    more than DF_CAP docs are excluded from the INTERSECTION join (they are
+    stopword-grade and produce quadratic pair blow-up at crawl scale — a hot
+    boilerplate 3-gram shared by 10^6 pages alone generates 5·10^11 pairs).
+    Denominators keep the full shingle counts, so the capped jaccard is a
+    documented lower bound of the true one."""
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        df_counts.where(F.col("df") <= DF_CAP).select("shingle"), "shingle"
+    )
+    a = rare.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh2"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("sh2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+    )
+    return j.where(F.col("jaccard") >= 0.5).select("id_a", "id_b", "jaccard")
+
+
+# hex-nibble membership sets for bit tests (bit 3 = MSB of the nibble) —
+# identical string predicates on both engines, no numeric conversion
+_NIBBLE_BIT_SETS = {3: "89abcdef", 2: "4567cdef", 1: "2367abef", 0: "13579bdf"}
+
+
+def _simhash64_bands(spark, sf_dir) -> DataFrame:
+    """64-bit SimHash as four 16-bit band integers b0..b3 (single hash-agg
+    pass: 64 ±1 vote sums per doc)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    d = d.withColumn("h", F.md5("w"))
+    vote_cols = []
+    for j in range(64):
+        nibble = F.substring("h", j // 4 + 1, 1)
+        members = _NIBBLE_BIT_SETS[3 - j % 4]
+        vote_cols.append(
+            F.sum(
+                F.when(nibble.isin(*list(members)), 1).otherwise(-1)
+            ).alias(f"s{j}")
+        )
+    agg = d.groupBy("doc_id").agg(*vote_cols)
+    band_exprs = []
+    for k in range(4):
+        terms = [
+            F.when(F.col(f"s{16 * k + i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(16)
+        ]
+        band_exprs.append(sum(terms[1:], terms[0]).cast("int").alias(f"b{k}"))
+    return agg.select("doc_id", *band_exprs)
+
+
+def q_dedup_simhash64(spark, sf_dir):
+    return _simhash64_bands(spark, sf_dir)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3):
+    """Banded-Hamming near-dup pairs: by pigeonhole, any two signatures with
+    Hamming distance ≤ 3 agree on at least one of the 4 16-bit bands, so a
+    band-bucket join finds ALL such pairs without an all-pairs scan; the
+    exact 64-bit Hamming distance then filters bucket collisions."""
+    sig = _simhash64_bands(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(k)), F.col(f"b{k}").cast("string"))
+                for k in range(4)
+            ])
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band",
+        *[F.col(f"b{k}").alias(f"b{k}_a") for k in range(4)],
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("band").alias("bd"),
+        *[F.col(f"b{k}").alias(f"b{k}_b") for k in range(4)],
+    )
+    cand = (
+        a.join(b, (F.col("band") == F.col("bd")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", *[c for k in range(4) for c in (f"b{k}_a", f"b{k}_b")])
+        .distinct()
+    )
+    hamming = sum(
+        [
+            F.bit_count(
+                F.col(f"b{k}_a").cast("long").bitwiseXOR(F.col(f"b{k}_b").cast("long"))
+            )
+            for k in range(1, 4)
+        ],
+        F.bit_count(F.col("b0_a").cast("long").bitwiseXOR(F.col("b0_b").cast("long"))),
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir, n_bits: int = 16):
     d = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
@@ -477,6 +629,96 @@ def q_sim_topk_ivf_label(spark, sf_dir, k: int = 3):
     )
 
 
+N_PLANES = 16  # random-hyperplane LSH: 16 sign bits in 2 bands of 8
+EMB_DIM = 64
+
+
+def lsh_planes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity — both engines consume
+    the SAME literal matrix, so the signatures agree by construction."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def q_sim_lsh_topk(spark, sf_dir, k: int = 5):
+    """ANN top-k via random-hyperplane LSH over the embeddings table —
+    see :func:`lsh_topk` for semantics and the recall/pruning trade."""
+    return lsh_topk(_emb_double(spark, sf_dir), k=k)
+
+
+def lsh_topk(e: DataFrame, k: int = 5):
+    """ANN top-k via random-hyperplane LSH: 16 sign bits → 2 bands of 8 →
+    candidates share a band → EXACT cosine re-rank within candidates.
+    Input: DataFrame(vec_id, v: array<double>).
+
+    This is the scale path the brute-force q_sim_cosine_topk baselines:
+    the pair space shrinks from n² to the sum of band-bucket sizes²
+    (random pairs collide at ~0.8%), and every stage is a bucketed join —
+    no all-pairs anywhere. The recall contract is NEAR-DUP radius: a pair
+    at cosine c collides w.p. 1-(1-p^8)² for p = 1-arccos(c)/π, i.e. ≈0.9
+    at c=0.95, ≈0.5 at c=0.8, and intentionally ~0 for unrelated vectors —
+    widen bands (more, shorter) to trade pruning for radius. The DuckDB
+    oracle implements identical semantics, so the approximation itself is
+    hash-checked."""
+    from pyspark.sql import Window
+
+    planes = lsh_planes()
+
+    def bit(p: int):
+        arr = F.array(*[F.lit(s) for s in planes[p]])
+        dot = F.aggregate(
+            F.zip_with("v", arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return F.when(dot >= 0, 1).otherwise(0)
+
+    band0 = sum([bit(i) * F.lit(1 << i) for i in range(1, 8)], bit(0))
+    band1 = sum([bit(8 + i) * F.lit(1 << i) for i in range(1, 8)], bit(8))
+    sig = e.select(
+        "vec_id", "v",
+        band0.cast("int").alias("band0"),
+        band1.cast("int").alias("band1"),
+    )
+    stacked = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.concat_ws(":", F.lit("0"), F.col("band0").cast("string")),
+                F.concat_ws(":", F.lit("1"), F.col("band1").cast("string")),
+            )
+        ).alias("band"),
+    )
+    a = stacked.select(F.col("vec_id").alias("id_a"), "band")
+    b = stacked.select(F.col("vec_id").alias("id_b"), F.col("band").alias("bd"))
+    cand = (
+        a.join(b, (F.col("band") == F.col("bd")) & (F.col("id_a") != F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("id_a", "id_b", "cos", "rk")
+    )
+
+
 # --- relational coverage over TPC-H-ish tables -----------------------------
 
 
@@ -589,6 +831,116 @@ def _oracle_simhash(n_bits: int = 16) -> str:
     """
 
 
+def _oracle_minhash_sig_n(n_perms: int) -> str:
+    aggs = ", ".join(
+        f"min(md5('{seed}|' || shingle)) AS mh{seed}" for seed in range(n_perms)
+    )
+    return f"SELECT doc_id, {aggs} FROM ({_oracle_shingles()}) GROUP BY doc_id"
+
+
+def _oracle_minhash128_band_pairs() -> str:
+    r = N_PERMS // N_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}' || '|' || "
+        + " || '|' || ".join(f"mh{b * r + i}" for i in range(r))
+        + " AS band FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sig AS ({_oracle_minhash_sig_n(N_PERMS)}),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    """
+
+
+def _oracle_simhash64_bands() -> str:
+    sums = ", ".join(
+        "sum(CASE WHEN substr(h, {p}, 1) IN ({members}) THEN 1 ELSE -1 END) AS s{j}".format(
+            p=j // 4 + 1,
+            members=", ".join(f"'{c}'" for c in _NIBBLE_BIT_SETS[3 - j % 4]),
+            j=j,
+        )
+        for j in range(64)
+    )
+    bands = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{16 * k + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+        )
+        + f" AS int) AS b{k}"
+        for k in range(4)
+    )
+    return f"""
+    SELECT doc_id, {bands} FROM (
+      SELECT doc_id, {sums} FROM (
+        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+      ) GROUP BY doc_id
+    )
+    """
+
+
+def _oracle_simhash_pairs(max_hamming: int = 3) -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, b0, b1, b2, b3, '{k}' || ':' || CAST(b{k} AS varchar) AS band FROM sig"
+        for k in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.b{k}::BIGINT, b.b{k}::BIGINT))" for k in range(4))
+    return f"""
+    WITH sig AS ({_oracle_simhash64_bands()}),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({hamming} AS int) AS hamming
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+def _oracle_lsh_topk(k: int = 5) -> str:
+    planes = lsh_planes()
+
+    def arr(p):
+        return "[" + ", ".join(f"{v:.1f}" for v in planes[p]) + "]"
+
+    def bit(p):
+        return (
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr(p)}) >= 0 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    band0 = " + ".join(f"{bit(i)} * {1 << i}" for i in range(8))
+    band1 = " + ".join(f"{bit(8 + i)} * {1 << i}" for i in range(8))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             CAST({band0} AS int) AS band0, CAST({band1} AS int) AS band1
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, '0' || ':' || CAST(band0 AS varchar) AS band FROM sig
+      UNION ALL
+      SELECT vec_id, '1' || ':' || CAST(band1 AS varchar) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id <> b.vec_id
+    )
+    SELECT id_a, id_b, cos, rk FROM (
+      SELECT id_a, id_b,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos,
+             row_number() OVER (
+               PARTITION BY id_a
+               ORDER BY list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) DESC,
+                        id_b ASC
+             ) AS rk
+      FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+                JOIN embeddings eb ON eb.vec_id = id_b
+    ) WHERE rk <= {k}
+    """
+
+
 def oracle_sqls() -> dict[str, str]:
     norm = normalize_sql(addr_sql())
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -676,6 +1028,30 @@ def oracle_sqls() -> dict[str, str]:
             WHERE inter / cast(ca.n_sh + cb.n_sh - inter AS double) >= 0.5
         """,
         "dedup_simhash": _oracle_simhash(),
+        "dedup_minhash128_band_pairs": _oracle_minhash128_band_pairs(),
+        "dedup_ngram_jaccard_dfcap": f"""
+            WITH sh AS ({_oracle_shingles()}),
+            counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            rare AS (
+              SELECT sh.doc_id, sh.shingle FROM sh
+              JOIN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= {DF_CAP}) r ON r.shingle = sh.shingle
+            ),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(inter / cast(ca.n_sh + cb.n_sh - inter AS double), 6) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE round(inter / cast(ca.n_sh + cb.n_sh - inter AS double), 6) >= 0.5
+        """,
+        "dedup_simhash64": _oracle_simhash64_bands(),
+        "dedup_simhash_pairs": _oracle_simhash_pairs(),
+        "sim_lsh_topk": _oracle_lsh_topk(),
         "text_token_stats": f"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
@@ -771,6 +1147,11 @@ SPARK_QUERIES = {
     "dedup_minhash_band_pairs": q_dedup_minhash_band_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash128_band_pairs": q_dedup_minhash128_band_pairs,
+    "dedup_ngram_jaccard_dfcap": q_dedup_ngram_jaccard_dfcap,
+    "dedup_simhash64": q_dedup_simhash64,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "sim_lsh_topk": q_sim_lsh_topk,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,

@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--max-block-size", type=int, default=200)
     ap.add_argument("--labeled-pairs", help="labeled pairs parquet for F1 report")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--iceberg-prefix",
+        help="catalog.db prefix for Iceberg stage checkpoints (requires the "
+        "iceberg-spark-runtime jar; falls back to parquet when absent)",
+    )
     args = ap.parse_args()
 
     from indian_address_parser_spark.plans.er_pipeline import run_pipeline
@@ -54,6 +59,7 @@ def main() -> None:
         max_block_size=args.max_block_size,
         labeled_pairs=labeled,
         resume=not args.no_resume,
+        iceberg_prefix=args.iceberg_prefix,
     )
     print(json.dumps(report, indent=2))
 

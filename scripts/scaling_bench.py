@@ -25,12 +25,22 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 cores = int(sys.argv[1]); n_households = int(sys.argv[2])
 os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+
+def spin_mops(n=20_000_000):
+    # single-thread CPU calibration: detects co-tenant steal episodes that
+    # would otherwise masquerade as engine (anti-)scaling
+    t0 = time.perf_counter(); x = 0
+    for i in range(n): x += i & 7
+    return round(n / (time.perf_counter() - t0) / 1e6, 1)
+
+cal_before = spin_mops()
 from indian_address_parser_spark.plans.session import get_spark
 import bench
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
 out = bench.run_er_pipeline(spark, n_households)
 out["cores"] = cores
+out["cal_mops"] = [cal_before, spin_mops()]
 print("RESULT " + json.dumps(out))
 """
 
@@ -52,7 +62,7 @@ def main() -> None:
     n_households = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else n_low * 4
-    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     factor = n_high / n_low
     # interleave the two levels and keep best-of-N per level: the sandbox VM
     # shows multi-x run-to-run drift (CPU steal), so alternating runs sample

@@ -1,0 +1,161 @@
+"""Property tests for the crawl-grade dedup / ANN query family.
+
+These check the guarantees that make the bucketed shapes trustworthy at
+scale (pigeonhole completeness, LSH recall vs the exact baseline) — the
+value-level parity with DuckDB is covered by the driver oracle gate
+(scripts/check_oracle.py: dedup_minhash128_band_pairs,
+dedup_ngram_jaccard_dfcap, dedup_simhash64, dedup_simhash_pairs,
+sim_lsh_topk all hash-match).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_simhash_banded_pairs_complete(spark):
+    """Pigeonhole guarantee: hamming ≤ 3 over 4 bands of 16 bits ⇒ at least
+    one band identical — the band-bucket join must find EVERY such pair
+    (verified against brute-force all-pairs hamming)."""
+    from indian_address_parser_spark.queries import q_dedup_simhash64, q_dedup_simhash_pairs
+
+    sig = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in q_dedup_simhash64(spark, SF_DIR).collect()
+    }
+    brute = set()
+    for a, b in itertools.combinations(sorted(sig), 2):
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+        if ham <= 3:
+            brute.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in q_dedup_simhash_pairs(spark, SF_DIR).collect()
+    }
+    assert got == brute
+
+
+def test_minhash128_catches_high_jaccard_pairs(spark):
+    """Every pair with true 3-gram jaccard ≥ 0.8 must surface from the
+    128-perm/32-band LSH (P[miss] = (1-j^4)^32 ≤ 2e-7 at j=0.8; the hashes
+    are deterministic so this is a stable regression, not a flaky one)."""
+    from indian_address_parser_spark.queries import (
+        q_dedup_minhash128_band_pairs,
+        q_dedup_ngram_jaccard,
+    )
+
+    high = {
+        (r["id_a"], r["id_b"])
+        for r in q_dedup_ngram_jaccard(spark, SF_DIR).collect()
+        if r["jaccard"] >= 0.8
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in q_dedup_minhash128_band_pairs(spark, SF_DIR).collect()
+    }
+    assert high, "fixture should contain at least one ≥0.8-jaccard near-dup pair"
+    assert high <= lsh, f"missed: {sorted(high - lsh)[:5]}"
+
+
+def test_dfcap_jaccard_is_lower_bound(spark):
+    """The df-capped jaccard never exceeds the uncapped one and agrees
+    exactly when no shingle hits the cap (the sf0.001 fixture's max df is
+    far below DF_CAP, so here the outputs must be identical)."""
+    from indian_address_parser_spark.queries import (
+        q_dedup_ngram_jaccard,
+        q_dedup_ngram_jaccard_dfcap,
+    )
+
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in q_dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in q_dedup_ngram_jaccard_dfcap(spark, SF_DIR).collect()
+    }
+    assert capped == full
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    """The LSH contract is NEAR-DUP radius, not generic k-NN on random
+    data (the fixture's median top-1 cosine is 0.36 — barely above random
+    — where no bucketing scheme can prune AND recall; see lsh_topk
+    docstring). Plant v' = normalize(v + ε) pairs at cosine ≥ 0.97
+    (collision prob ≈ 0.97 per the sign-LSH formula) and require the LSH
+    top-k to surface the planted twin as the top match for ≥ 90% of them."""
+    import numpy as np
+
+    from indian_address_parser_spark.queries import _emb_double, lsh_topk
+
+    base = _emb_double(spark, SF_DIR).collect()
+    rng = np.random.default_rng(3)
+    rows, expected = [], {}
+    for i, r in enumerate(base[:40]):
+        v = np.asarray(r["v"])
+        dup = v + rng.normal(0, 0.02 * float(np.linalg.norm(v)) / np.sqrt(len(v)), size=len(v))
+        a, b = f"q{i:03d}", f"d{i:03d}"
+        rows.append((a, [float(x) for x in v]))
+        rows.append((b, [float(x) for x in dup]))
+        expected[a] = b
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    top = {
+        r["id_a"]: r["id_b"] for r in lsh_topk(df, k=1).collect() if r["rk"] == 1
+    }
+    hits = sum(1 for q, d in expected.items() if top.get(q) == d)
+    assert hits / len(expected) >= 0.9, f"planted-dup recall {hits}/{len(expected)}"
+
+
+def test_lsh_prunes_candidate_space(spark):
+    """The point of the LSH path: the candidate pair space must be a small
+    fraction of n² (the brute-force baseline touches all ~250k pairs)."""
+    from indian_address_parser_spark.queries import _emb_double, lsh_planes
+
+    import pyspark.sql.functions as F
+
+    e = _emb_double(spark, SF_DIR)
+    n = e.count()
+    planes = lsh_planes()
+
+    def bit(p):
+        arr = F.array(*[F.lit(s) for s in planes[p]])
+        dot = F.aggregate(F.zip_with("v", arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        return F.when(dot >= 0, 1).otherwise(0)
+
+    band0 = sum([bit(i) * F.lit(1 << i) for i in range(1, 8)], bit(0))
+    band1 = sum([bit(8 + i) * F.lit(1 << i) for i in range(1, 8)], bit(8))
+    sig = e.select("vec_id", band0.alias("b0"), band1.alias("b1"))
+    buckets = (
+        sig.select(F.col("b0").alias("b")).groupBy("b").count()
+        .unionAll(sig.select(F.col("b1").alias("b")).groupBy("b").count())
+    )
+    cand_pairs = buckets.agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)).collect()[0][0]
+    assert cand_pairs < 0.05 * n * (n - 1) / 2, f"candidates {cand_pairs} vs n²/2 {n*(n-1)/2}"
+
+
+def test_lsh_candidates_share_a_band(spark):
+    """Every emitted LSH pair must actually share a band signature."""
+    from indian_address_parser_spark.queries import (
+        lsh_planes,
+        q_sim_lsh_topk,
+    )
+    from indian_address_parser_spark.queries import _emb_double  # noqa: PLC2701
+
+    planes = lsh_planes()
+    vecs = {r["vec_id"]: r["v"] for r in _emb_double(spark, SF_DIR).collect()}
+
+    def bands(v):
+        bits = [1 if sum(x * w for x, w in zip(v, p)) >= 0 else 0 for p in planes]
+        return (
+            sum(b << i for i, b in enumerate(bits[:8])),
+            sum(b << i for i, b in enumerate(bits[8:])),
+        )
+
+    sig = {k: bands(v) for k, v in vecs.items()}
+    for r in q_sim_lsh_topk(spark, SF_DIR).collect():
+        a, b = sig[r["id_a"]], sig[r["id_b"]]
+        assert a[0] == b[0] or a[1] == b[1]

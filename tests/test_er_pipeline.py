@@ -267,3 +267,30 @@ class TestEmptyBatches:
         rows = res.select("mention_id", "warc_ts").collect()
         assert len(rows) == 1 and rows[0]["mention_id"] == "http://a#0"
         assert rows[0]["warc_ts"] is not None
+
+
+class TestIcebergGate:
+    def test_iceberg_detection_and_fallback(self, spark, tmp_path):
+        """Without the iceberg-spark-runtime jar the pipeline must fall back
+        to parquet even when an iceberg prefix is requested, and record the
+        storage format in the stage manifest."""
+        import json
+
+        from indian_address_parser_spark.plans.er_pipeline import (
+            iceberg_available,
+            run_pipeline,
+        )
+        from indian_address_parser_spark.sources.pages import generate
+
+        has_iceberg = iceberg_available(spark)
+        pages = generate(spark, n_households=50)["pages"]
+        wd = str(tmp_path / "er")
+        run_pipeline(spark, pages, wd, iceberg_prefix="local.db")
+        with open(f"{wd}/mentions/_manifest.json") as f:
+            manifest = json.load(f)
+        expected = "iceberg" if has_iceberg else "parquet"
+        assert manifest["storage"]["format"] == expected
+        if not has_iceberg:
+            import os
+
+            assert any(p.endswith(".parquet") for p in os.listdir(f"{wd}/mentions"))
