@@ -7,7 +7,7 @@ sf0.001 documents.
 
 ``queries``/``oracle_sql``: one entry per operator family from SURVEY.md §2;
 every SQL-expressible one carries a DuckDB oracle (validated locally by
-``scripts/check_oracle.py`` — 29/29 hash-match at sf0.001 and sf0.01).
+``scripts/check_oracle.py`` — 34/34 hash-match at sf0.001 and sf0.01).
 Rows-only entries (genuinely non-SQL semantics): the full synthetic-pages
 pipeline with soundex blocking, the reference's complete rules-extraction
 path (stateful refinement + fuzzy gazetteer, which DuckDB cannot

@@ -86,7 +86,14 @@ def run_er_pipeline(spark, n_households: int) -> dict:
     mentions.count()
     stage_secs["extract"] = round(time.perf_counter() - t, 1)
     t = time.perf_counter()
-    blocked = with_block_key(mentions).cache()
+    from pyspark import StorageLevel
+
+    # SERIALIZED persist: the default deserialized memory cache write for
+    # this wide frame collapses under 32 concurrent writers (measured 61s
+    # vs 7.5s serialized at 32 cores; fine at 8) — memory-store contention,
+    # not compute
+    level = getattr(StorageLevel, "MEMORY_AND_DISK_SER", StorageLevel.MEMORY_AND_DISK)
+    blocked = with_block_key(mentions).persist(level)
     blocked.count()
     stage_secs["block"] = round(time.perf_counter() - t, 1)
     t = time.perf_counter()

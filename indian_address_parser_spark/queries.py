@@ -629,6 +629,140 @@ def q_sim_topk_ivf_label(spark, sf_dir, k: int = 3):
     )
 
 
+# --- training-side weighting (A2/A3, reference training/train.py:39-99) ----
+
+# reference train.py:39 — minority entities that get boosted sampling weight;
+# of these, GALI and SUBAREA are derivable from the shared synthetic address
+MINORITY_ENTITIES = ("GALI", "SUBAREA")
+BOOST_FACTOR = 3.0  # train.py:42 default
+
+
+def _entity_flags(spark, sf_dir) -> DataFrame:
+    """Per-doc entity-presence flags over the derived address (the 'sample
+    contains entity E' predicate of compute_sample_weights)."""
+    f = _norm_fields(spark, sf_dir)
+    subarea_re = "|".join(SUBAREAS)
+    return f.select(
+        "doc_id",
+        (F.col("house_no") != "").alias("has_HOUSE_NUMBER"),
+        (F.col("street") != "").alias("has_GALI"),
+        (F.col("pincode") != "").alias("has_PINCODE"),
+        (F.col("city") != "").alias("has_CITY"),
+        F.col("normalized").rlike(subarea_re).alias("has_SUBAREA"),
+    )
+
+
+_A2_ENTITIES = ("HOUSE_NUMBER", "GALI", "PINCODE", "CITY", "SUBAREA")
+
+
+def q_train_entity_weights(spark, sf_dir):
+    """A2 — inverse-document-frequency entity weights: max(1, N/count)
+    (reference train.py:66-72). One agg pass, N entities → N columns."""
+    flags = _entity_flags(spark, sf_dir)
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.col(f"has_{e}").cast("int")).alias(f"n_{e}") for e in _A2_ENTITIES
+    ]
+    row = flags.agg(*aggs)
+    pairs = []
+    for e in _A2_ENTITIES:
+        pairs.append(
+            F.struct(
+                F.lit(e).alias("entity"),
+                F.col(f"n_{e}").alias("n_docs"),
+                F.when(
+                    F.col(f"n_{e}") > 0,
+                    F.greatest(F.lit(1.0), F.col("n") / F.col(f"n_{e}")),
+                ).otherwise(F.lit(None)).alias("weight"),
+            )
+        )
+    return row.select(F.explode(F.array(*pairs)).alias("s")).select(
+        F.col("s.entity").alias("entity"),
+        F.col("s.n_docs").alias("n_docs"),
+        F.round("s.weight", 6).alias("weight"),
+    )
+
+
+def _sample_weight_col(flags: DataFrame) -> Column:
+    """compute_sample_weights semantics (train.py:74-92): base 1.0; any
+    minority entity present → max(w, boost); rarity>5 → max(w, boost·1.5).
+    Entity IDF weights arrive as literal columns n/n_E via a broadcast of
+    the single aggregate row."""
+    w = F.lit(1.0)
+    for e in MINORITY_ENTITIES:
+        ew = F.when(
+            F.col(f"n_{e}") > 0, F.greatest(F.lit(1.0), F.col("n") / F.col(f"n_{e}"))
+        ).otherwise(F.lit(1.0))
+        w = F.when(
+            F.col(f"has_{e}"),
+            F.greatest(
+                w,
+                F.when(ew > 5, F.lit(BOOST_FACTOR * 1.5)).otherwise(F.lit(BOOST_FACTOR)),
+            ),
+        ).otherwise(w)
+    return w
+
+
+def _oracle_entity_flags() -> str:
+    subarea_re = "|".join(SUBAREAS)
+    return f"""
+    SELECT doc_id,
+           house_no <> '' AS has_HOUSE_NUMBER,
+           street <> '' AS has_GALI,
+           pincode <> '' AS has_PINCODE,
+           city <> '' AS has_CITY,
+           regexp_matches(normalized, '{subarea_re}') AS has_SUBAREA
+    FROM ({{norm}})
+    """
+
+
+def _oracle_weight_sql() -> tuple[str, str]:
+    """(flags+totals CTE prelude, per-row weight expression)."""
+    flags = _oracle_entity_flags().format(norm=_oracle_norm_fields())
+    tot_cols = ", ".join(
+        f"sum(CASE WHEN has_{e} THEN 1 ELSE 0 END) AS n_{e}" for e in MINORITY_ENTITIES
+    )
+    prelude = f"""
+    WITH flags AS ({flags}),
+    totals AS (SELECT count(*) AS n, {tot_cols} FROM flags)
+    """
+    w = "1.0"
+    for e in MINORITY_ENTITIES:
+        ew = f"(CASE WHEN n_{e} > 0 THEN greatest(1.0, n / cast(n_{e} AS double)) ELSE 1.0 END)"
+        boost = f"(CASE WHEN {ew} > 5 THEN {BOOST_FACTOR * 1.5} ELSE {BOOST_FACTOR} END)"
+        w = f"(CASE WHEN has_{e} THEN greatest({w}, {boost}) ELSE {w} END)"
+    return prelude, w
+
+
+def q_train_sample_weights(spark, sf_dir):
+    """A3 input — per-sample sampling weight (reference train.py:74-99)."""
+    flags = _entity_flags(spark, sf_dir)
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.col(f"has_{e}").cast("int")).alias(f"n_{e}") for e in MINORITY_ENTITIES
+    ]
+    totals = flags.agg(*aggs)  # single row → AQE broadcasts the cross join
+    joined = flags.crossJoin(totals)
+    return joined.select("doc_id", F.round(_sample_weight_col(joined), 6).alias("weight"))
+
+
+def q_train_weighted_sample(spark, sf_dir):
+    """A3 — weighted sampling, Spark-shaped: the reference's
+    WeightedRandomSampler (train.py:394-398) draws with replacement on one
+    node; the distributed equivalent is deterministic ACCEPTANCE sampling —
+    keep doc iff hash-uniform(doc_id) < weight/max_weight. Expected rate is
+    proportional to weight, fully partition-independent and reproducible
+    (same reason the A6 split uses md5, not randomSplit)."""
+    max_w = BOOST_FACTOR * 1.5
+    weights = q_train_sample_weights(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("samp|"), F.col("doc_id").cast("string"))), 1, 6),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(16**6))
+    )
+    return weights.where(u < F.col("weight") / F.lit(max_w)).select("doc_id", "weight")
+
+
 N_PLANES = 16  # random-hyperplane LSH: 16 sign bits in 2 bands of 8
 EMB_DIM = 64
 
@@ -941,6 +1075,39 @@ def _oracle_lsh_topk(k: int = 5) -> str:
     """
 
 
+def _oracle_train_entity_weights() -> str:
+    flags = _oracle_entity_flags().format(norm=_oracle_norm_fields())
+    tot_cols = ", ".join(
+        f"sum(CASE WHEN has_{e} THEN 1 ELSE 0 END) AS n_{e}" for e in _A2_ENTITIES
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT '{e}' AS entity, n_{e} AS n_docs, "
+        f"round(CASE WHEN n_{e} > 0 THEN greatest(1.0, n / cast(n_{e} AS double)) END, 6) AS weight "
+        "FROM totals"
+        for e in _A2_ENTITIES
+    )
+    return f"WITH flags AS ({flags}), totals AS (SELECT count(*) AS n, {tot_cols} FROM flags) {selects}"
+
+
+def _oracle_train_sample_weights() -> str:
+    prelude, w = _oracle_weight_sql()
+    return f"{prelude} SELECT doc_id, round({w}, 6) AS weight FROM flags CROSS JOIN totals"
+
+
+def _oracle_train_weighted_sample() -> str:
+    prelude, w = _oracle_weight_sql()
+    max_w = BOOST_FACTOR * 1.5
+    u = (
+        "(cast(('0x' || substr(md5('samp|' || cast(doc_id AS varchar)), 1, 6)) AS UBIGINT)"
+        f" / cast({float(16**6)} AS double))"
+    )
+    return (
+        f"{prelude} SELECT doc_id, weight FROM ("
+        f"SELECT doc_id, round({w}, 6) AS weight FROM flags CROSS JOIN totals"
+        f") WHERE {u} < weight / {max_w}"
+    )
+
+
 def oracle_sqls() -> dict[str, str]:
     norm = normalize_sql(addr_sql())
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -1052,6 +1219,9 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_simhash64": _oracle_simhash64_bands(),
         "dedup_simhash_pairs": _oracle_simhash_pairs(),
         "sim_lsh_topk": _oracle_lsh_topk(),
+        "train_entity_weights": _oracle_train_entity_weights(),
+        "train_sample_weights": _oracle_train_sample_weights(),
+        "train_weighted_sample": _oracle_train_weighted_sample(),
         "text_token_stats": f"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
@@ -1152,6 +1322,9 @@ SPARK_QUERIES = {
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "train_entity_weights": q_train_entity_weights,
+    "train_sample_weights": q_train_sample_weights,
+    "train_weighted_sample": q_train_weighted_sample,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,

@@ -18,7 +18,11 @@ class TestEntry:
         o = entrymod.oracle_sql()
         assert set(o) <= set(q)
         # rows-only entries are the documented non-SQL ops
-        assert set(q) - set(o) == {"er_pipeline_full", "er_extract_mentions"}
+        assert set(q) - set(o) == {
+            "er_pipeline_full",
+            "er_extract_mentions",
+            "er_bertcrf_tag",
+        }
 
     def test_rows_only_queries_run(self, spark):
         q = entrymod.queries()

@@ -114,10 +114,14 @@ class TestRulesTaggerEval:
 
 
 class TestBertCrfSurface:
-    def test_requires_torch(self):
+    def test_lazy_load_missing_checkpoint(self):
+        """Construction is lazy (no checkpoint touch — workers construct the
+        tagger before first batch); tagging with a missing checkpoint dir
+        fails cleanly at load time."""
         import pytest
 
         from indian_address_parser_spark.operators.tagger import BertCrfTagger
 
-        with pytest.raises(ImportError):
-            BertCrfTagger("/nonexistent/model")
+        tagger = BertCrfTagger("/nonexistent/model")  # must not raise
+        with pytest.raises(FileNotFoundError):
+            tagger.tag_batch(["NEW DELHI 110024"])
