@@ -24,10 +24,12 @@ BENCH_QUERIES = (
     "er_pair_scores",
     "er_clusters",
     "dedup_minhash_band_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "dedup_minhash128_band_pairs",
+    "dedup_ngram_jaccard_dfcap",
+    "dedup_simhash_pairs",
     "text_token_stats",
     "sim_cosine_topk",
+    "sim_lsh_topk",
     "agg_pricing_summary",
     "window_top_order_per_cust",
 )

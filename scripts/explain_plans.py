@@ -57,10 +57,30 @@ def main() -> None:
         edges,
         # AQE's finalized plan omits codegen annotations in explainString;
         # assert the join strategy + adaptivity instead (codegen spans are
-        # visible in the non-adaptive extract section above)
-        must_contain=("Join Inner", "AdaptiveSparkPlan"),
-        must_not=("ArrowEvalPython", "BatchEvalPython"),
+        # visible in the non-adaptive extract section above).
+        # Two-stage scoring contract: the Jaro-Winkler Arrow kernel runs
+        # ABOVE a round-robin exchange of the pruned narrow projection —
+        # the join stage itself stays all-JVM, and row-at-a-time Python
+        # (BatchEvalPython) appears nowhere.
+        must_contain=("Join Inner", "AdaptiveSparkPlan", "RoundRobinPartitioning",
+                      "ArrowEvalPython"),
+        must_not=("BatchEvalPython",),
     )
+
+    # JVM-only contract when no JW field is configured: zero Python nodes
+    from indian_address_parser_spark.operators import scoring as scoring_mod
+
+    orig = scoring_mod.FIELD_WEIGHTS
+    scoring_mod.FIELD_WEIGHTS = tuple((f, w, g, False) for f, w, g, _ in orig)
+    try:
+        capture(
+            "scoring with Levenshtein-only field table (JVM-only contract)",
+            score_pairs(candidate_pairs(blocked)),
+            must_contain=("Join Inner", "AdaptiveSparkPlan"),
+            must_not=("ArrowEvalPython", "BatchEvalPython", "RoundRobinPartitioning"),
+        )
+    finally:
+        scoring_mod.FIELD_WEIGHTS = orig
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
