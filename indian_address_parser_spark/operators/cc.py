@@ -145,20 +145,24 @@ def connected_components(
             prev_fp = fp
 
         # Converged star graph: every edge is (node-hash → root-hash). Map back
-        # to string ids and label each component by its minimum string id.
+        # to string ids and label each component by its minimum string id —
+        # a single window min over root (ONE shuffle; the groupBy+join
+        # formulation shuffled the same rows twice). Components are
+        # households (tiny), so the per-root window partitions cannot skew.
+        from pyspark.sql import Window
+
         members = cur.select(F.col("u").alias("hid"), F.col("v").alias("root"))
         roots = cur.select(F.col("v").alias("hid")).distinct().withColumn("root", F.col("hid"))
         assignments_h = members.union(roots).distinct()
-        # `named` feeds both the label agg and the final join — checkpoint it
-        # so the hash→string join runs once, not twice.
-        named = _truncate(assignments_h.join(nodes, "hid").select("mention_id", "root"))
-        labels = named.groupBy("root").agg(F.min("mention_id").alias("cluster_id"))
-        # Checkpoint the result too: the caller's first action otherwise
-        # re-plans the twice-referenced lazy `named` checkpoint inside one
-        # job — measured ~10× slower than consuming the truncated plan.
-        return _truncate(
-            named.join(labels, "root").select("mention_id", "cluster_id")
+        named = assignments_h.join(nodes, "hid").select("mention_id", "root")
+        out = named.select(
+            "mention_id",
+            F.min("mention_id").over(Window.partitionBy("root")).alias("cluster_id"),
         )
+        # Checkpoint the result: the caller's first action otherwise
+        # re-plans the full label chain inside one job — measured ~10×
+        # slower than consuming the truncated plan.
+        return _truncate(out)
     finally:
         if old_floor is None:
             spark.conf.unset(floor_key)
