@@ -169,9 +169,8 @@ class TestSkewHandling:
 
 
 class TestConnectedComponents:
-    def test_matches_bruteforce_on_random_graph(self, spark):
-        import itertools
-
+    @pytest.mark.parametrize("stars", ["window", "join"])
+    def test_matches_bruteforce_on_random_graph(self, spark, stars):
         # deterministic pseudo-random graph over 60 nodes
         edges = [
             (f"n{(i * 13) % 60}", f"n{(i * 29 + 7) % 60}") for i in range(45)
@@ -179,7 +178,7 @@ class TestConnectedComponents:
         df = spark.createDataFrame(edges, ["src", "dst"])
         got = {
             r["mention_id"]: r["cluster_id"]
-            for r in connected_components(df).collect()
+            for r in connected_components(df, stars=stars).collect()
         }
 
         # union-find reference
