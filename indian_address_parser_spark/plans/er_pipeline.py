@@ -167,11 +167,15 @@ def run_pipeline(
     labeled_pairs: DataFrame | None = None,
     resume: bool = True,
     iceberg_prefix: str | None = None,
+    cc_stars: str = "window",
 ) -> dict:
     """Run (or resume) the full pipeline. Returns stage row counts, timings
     and (if labeled_pairs given) pairwise P/R/F1. ``iceberg_prefix`` opts
     stage checkpoints into Iceberg tables when the runtime jar is present
-    (see _write_stage); manifests drive resume either way."""
+    (see _write_stage); manifests drive resume either way. ``cc_stars``
+    picks the connected-components round strategy ("window" for bounded
+    component sizes, "join" for graphs with possible giant components —
+    see operators/cc.py)."""
     os.makedirs(work_dir, exist_ok=True)
     fp = _input_fingerprint(pages)
     report: dict = {"input_fingerprint": fp, "stages": {}, "resumed": []}
@@ -201,7 +205,7 @@ def run_pipeline(
         "clusters",
         lambda: attach_clusters(
             mentions.select("mention_id", "url", "normalized"),
-            connected_components(edges),
+            connected_components(edges, stars=cc_stars),
         ),
     )
 
