@@ -70,9 +70,16 @@ def run_er_pipeline(spark, n_households: int) -> dict:
     from indian_address_parser_spark.operators.scoring import score_pairs
     from indian_address_parser_spark.sources.pages import generate
 
+    from pyspark import StorageLevel
+
+    ser = getattr(StorageLevel, "MEMORY_AND_DISK_SER", StorageLevel.MEMORY_AND_DISK)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     pages = generate(spark, n_households=n_households)["pages"].select("url", "text")
-    pages = pages.repartition(cpus * 4).cache()
+    # SERIALIZED persists throughout: deserialized memory caching of the
+    # multi-GB frames anti-scales with input size (measured at 2.4M pages /
+    # 8 cores: extract 260s→191s, block 132s→55s switching pages+mentions
+    # to MEMORY_AND_DISK_SER — JVM object/GC pressure, not compute)
+    pages = pages.repartition(cpus * 4).persist(ser)
     n_pages = pages.count()  # materialize input outside the timed window
     warm_python_workers(spark, cpus)
 
@@ -84,18 +91,16 @@ def run_er_pipeline(spark, n_households: int) -> dict:
     # aggregation+join). scoring + CC stay fused: edges stream straight
     # into the star loop's input checkpoint, no extra materialization.
     t = time.perf_counter()
-    mentions = extract_mentions(pages).cache()
+    mentions = extract_mentions(pages).persist(ser)
     mentions.count()
     stage_secs["extract"] = round(time.perf_counter() - t, 1)
     t = time.perf_counter()
-    from pyspark import StorageLevel
 
-    # SERIALIZED persist: the default deserialized memory cache write for
-    # this wide frame collapses under 32 concurrent writers (measured 61s
-    # vs 7.5s serialized at 32 cores; fine at 8) — memory-store contention,
-    # not compute
-    level = getattr(StorageLevel, "MEMORY_AND_DISK_SER", StorageLevel.MEMORY_AND_DISK)
-    blocked = with_block_key(mentions).persist(level)
+    from indian_address_parser_spark.operators.pairs import PAIR_INPUT_COLS
+
+    # persist only what the pair self-join reads (see PAIR_INPUT_COLS) —
+    # the wide mention payload anti-scales the block stage at 10⁶+ pages
+    blocked = with_block_key(mentions).select(*PAIR_INPUT_COLS).persist(ser)
     blocked.count()
     stage_secs["block"] = round(time.perf_counter() - t, 1)
     t = time.perf_counter()

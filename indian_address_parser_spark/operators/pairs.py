@@ -22,6 +22,14 @@ PAIR_FIELDS = (
     "khasra_digits",
 )
 
+# Everything candidate_pairs consumes from the blocked frame. Checkpoint /
+# persist THIS projection, not the full mention payload: the wide columns
+# (url, normalized text, raw entity struct) are never read by the pair
+# join, and at crawl scale they dominate the bytes written — measured 15×
+# block-stage blow-up (8.8s → 132s for 4× pages) when the full frame was
+# persisted, driven by materializing ~500B/row instead of ~120B/row.
+PAIR_INPUT_COLS = ("mention_id", "block_key", "block_size", "join_key", *PAIR_FIELDS)
+
 
 def candidate_pairs(blocked: DataFrame) -> DataFrame:
     """→ one row per unordered candidate pair with both sides' fields."""

@@ -199,7 +199,15 @@ def run_pipeline(
         return out
 
     mentions = stage("mentions", lambda: extract_mentions(pages))
-    blocked = stage("blocked", lambda: with_block_key(mentions, max_block_size))
+    # checkpoint only the projection the pair join reads — the wide mention
+    # payload (url, normalized text) is re-joined from the mentions stage
+    # where needed and would otherwise dominate this stage's write volume
+    from indian_address_parser_spark.operators.pairs import PAIR_INPUT_COLS
+
+    blocked = stage(
+        "blocked",
+        lambda: with_block_key(mentions, max_block_size).select(*PAIR_INPUT_COLS),
+    )
     edges = stage("edges", lambda: score_pairs(candidate_pairs(blocked), threshold))
     clusters = stage(
         "clusters",
