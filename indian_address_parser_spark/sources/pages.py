@@ -89,8 +89,27 @@ def generate(
     h = F.col("h")
     hh = spark.range(n_households).select(F.col("id").alias("h"))
 
+    # Hold per-block density constant as the corpus grows: the address
+    # universe scales with coverage in a real crawl (more pages ⇒ more
+    # distinct streets/house numbers), while a FIXED universe saturates —
+    # measured at 2M households: 4× mentions produced 17× candidate pairs
+    # and 15× match edges purely from block-key collisions between
+    # distinct households. house_num feeds both the secondary blocking
+    # key and the scorer's digit hard feature, so widening its range is
+    # the single knob that scales key entropy ∝ n. Below ~1M households
+    # the modulus stays 899 ⇒ every test/bench fixture is byte-identical
+    # to the fixed-universe generator. The scaled modulus must stay
+    # COPRIME with every other household modulus (2,3,5,7,11,20,23,25,40):
+    # a shared factor collapses the entropy gain — 899·4 = 3596 shares 4
+    # with the pincode index (h % 20), which pins house_num mod 4 inside
+    # each pincode and silently restores the 899-value universe.
+    import math
+
+    house_mod = 899 * max(1, n_households // 500000)
+    while math.gcd(house_mod, 2 * 3 * 5 * 7 * 11 * 23) != 1:
+        house_mod += 1
     hh = (
-        hh.withColumn("house_num", (h % 899 + 1).cast("string"))
+        hh.withColumn("house_num", (h % house_mod + 1).cast("string"))
         .withColumn("gali_num", ((h / 7).cast("long") % 23 + 1).cast("string"))
         .withColumn("colony", _pick(COLONIES, (h / 11).cast("long")))
         .withColumn("has_subarea", (h % 3 != 0))
