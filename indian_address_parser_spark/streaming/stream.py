@@ -58,6 +58,92 @@ def stream_dedup_mentions(mentions_stream: DataFrame, late_window: str = "1 hour
     )
 
 
+def stream_windowed_counts(
+    mentions_stream: DataFrame,
+    window: str = "10 minutes",
+    late_window: str = "1 hour",
+    key: str = "pincode",
+) -> DataFrame:
+    """Windowed mention counts per blocking component with late-data handling.
+
+    Watermark on ``warc_ts`` + tumbling event-time window: late pages inside
+    ``late_window`` still land in their original window; older windows are
+    finalized and their state purged — the standard Structured Streaming
+    shape for per-period crawl observability (mentions per pincode per
+    window feeds the skew monitor that sizes secondary blocking keys).
+    """
+    return (
+        mentions_stream.withWatermark("warc_ts", late_window)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col(key))
+        .agg(F.count("*").alias("n_mentions"))
+        .select(F.col("w.start").alias("window_start"), key, "n_mentions")
+    )
+
+
+# output/state schemas for stream_url_sessions (applyInPandasWithState)
+_SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("n_mentions", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def stream_url_sessions(mentions_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-url crawl session accumulator.
+
+    ``applyInPandasWithState`` keeps one tiny state row per url (running
+    mention count + first/last event time) and emits the updated session
+    row every micro-batch (update mode). This is the engine's template for
+    stateful ops Structured Streaming lacks natively — per-entity
+    accumulators, incremental block statistics — with state partitioned by
+    the group key, so it shards across executors like any keyed state.
+    State here is O(distinct urls in flight); production callers bound it
+    with a watermark-driven timeout (GroupStateTimeout.EventTimeTimeout)
+    the same way dedup bounds its seen-set.
+    """
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["warc_ts"])
+            n += len(pdf)
+            lo = int(ts.min().value // 1000)
+            hi = int(ts.max().value // 1000)
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "url": [key[0]],
+                "n_mentions": [n],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return mentions_stream.groupBy("url").applyInPandasWithState(
+        _update,
+        outputStructType=_SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_link(work_dir: str, threshold: float = 0.80):
     """ForeachBatch sink: feed each micro-batch of mentions into the
     checkpointed batch linker (blocking → scoring → CC over the union of
