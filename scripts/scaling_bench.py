@@ -50,7 +50,7 @@ def run_level(cores: int, n_households: int) -> dict:
         [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), str(n_households)],
         capture_output=True,
         text=True,
-        timeout=2700,
+        timeout=3600,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
