@@ -519,6 +519,14 @@ def q_dedup_simhash(spark, sf_dir, n_bits: int = 16):
 # --- text analysis ---------------------------------------------------------
 
 
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
+# marks — the GPT-2-family pre-split shape, here as a regex both Spark
+# (Java regex) and DuckDB (RE2) interpret identically. Subtoken counts
+# are the unit LLM data budgets are denominated in; whitespace tokens
+# under-count code/punctuation-heavy text badly.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
 def q_text_token_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
@@ -527,6 +535,7 @@ def q_text_token_stats(spark, sf_dir):
     return d.select(
         "doc_id",
         F.size(words).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).alias("n_subtokens"),
         F.length("text").alias("n_chars_measured"),
         F.round(n_stop / F.size(words), 6).alias("stopword_ratio"),
     )
@@ -851,6 +860,103 @@ def lsh_topk(e: DataFrame, k: int = 5):
         .where(F.col("rk") <= k)
         .select("id_a", "id_b", "cos", "rk")
     )
+
+
+COSINE_DEDUP_TAU = 0.3
+
+
+def q_dedup_embedding_cosine(spark, sf_dir, tau: float = COSINE_DEDUP_TAU):
+    """Embedding-cosine near-duplicate pairs: LSH band buckets (the same
+    random-hyperplane signatures as :func:`lsh_topk`) generate candidates,
+    exact cosine inside buckets keeps pairs ≥ tau — unordered (id_a<id_b),
+    never all-pairs. This is the dedup-flavoured sibling of sim_lsh_topk:
+    the bucketed join is the only scalable pair generator at crawl scale.
+    Production embedding dedup runs tau ≈ 0.9 (LSH collision ≈ 0.77 per
+    band pair at that radius); the synthetic embeddings table carries no
+    true near-dups (max candidate cosine ≈ 0.47), so the bench threshold
+    sits at the top of the data's similarity range to keep the operator's
+    output non-empty and hash-checkable."""
+    e = _emb_double(spark, sf_dir)
+    planes = lsh_planes()
+
+    def bit(p: int):
+        arr = F.array(*[F.lit(s) for s in planes[p]])
+        dot = F.aggregate(
+            F.zip_with("v", arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return F.when(dot >= 0, 1).otherwise(0)
+
+    band0 = sum([bit(i) * F.lit(1 << i) for i in range(1, 8)], bit(0))
+    band1 = sum([bit(8 + i) * F.lit(1 << i) for i in range(1, 8)], bit(8))
+    sig = e.select(
+        "vec_id",
+        band0.cast("int").alias("band0"),
+        band1.cast("int").alias("band1"),
+    )
+    stacked = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.concat_ws(":", F.lit("0"), F.col("band0").cast("string")),
+                F.concat_ws(":", F.lit("1"), F.col("band1").cast("string")),
+            )
+        ).alias("band"),
+    )
+    a = stacked.select(F.col("vec_id").alias("id_a"), "band")
+    b = stacked.select(F.col("vec_id").alias("id_b"), F.col("band").alias("bd"))
+    cand = (
+        a.join(b, (F.col("band") == F.col("bd")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .where(F.col("cos") >= tau)
+    )
+
+
+def _oracle_embedding_cosine(tau: float = COSINE_DEDUP_TAU) -> str:
+    planes = lsh_planes()
+
+    def arr(p):
+        return "[" + ", ".join(f"{v:.1f}" for v in planes[p]) + "]"
+
+    def bit(p):
+        return (
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr(p)}) >= 0 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    band0 = " + ".join(f"{bit(i)} * {1 << i}" for i in range(8))
+    band1 = " + ".join(f"{bit(8 + i)} * {1 << i}" for i in range(8))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             CAST({band0} AS int) AS band0, CAST({band1} AS int) AS band1
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, '0' || ':' || CAST(band0 AS varchar) AS band FROM sig
+      UNION ALL
+      SELECT vec_id, '1' || ':' || CAST(band1 AS varchar) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT id_a, id_b,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos
+      FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+                JOIN embeddings eb ON eb.vec_id = id_b
+    ) WHERE cos >= {tau}
+    """
 
 
 # --- relational coverage over TPC-H-ish tables -----------------------------
@@ -1219,12 +1325,14 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_simhash64": _oracle_simhash64_bands(),
         "dedup_simhash_pairs": _oracle_simhash_pairs(),
         "sim_lsh_topk": _oracle_lsh_topk(),
+        "dedup_embedding_cosine": _oracle_embedding_cosine(),
         "train_entity_weights": _oracle_train_entity_weights(),
         "train_sample_weights": _oracle_train_sample_weights(),
         "train_weighted_sample": _oracle_train_weighted_sample(),
         "text_token_stats": f"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_subtokens,
                    length(text) AS n_chars_measured,
                    round(len(list_filter(string_split(text, ' '), w -> w IN ({stop_list})))
                          / cast(len(string_split(text, ' ')) AS double), 6) AS stopword_ratio
@@ -1322,6 +1430,7 @@ SPARK_QUERIES = {
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "train_entity_weights": q_train_entity_weights,
     "train_sample_weights": q_train_sample_weights,
     "train_weighted_sample": q_train_weighted_sample,
