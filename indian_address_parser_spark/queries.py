@@ -1187,7 +1187,7 @@ def _oracle_train_entity_weights() -> str:
         f"sum(CASE WHEN has_{e} THEN 1 ELSE 0 END) AS n_{e}" for e in _A2_ENTITIES
     )
     selects = " UNION ALL ".join(
-        f"SELECT '{e}' AS entity, n_{e} AS n_docs, "
+        f"SELECT '{e}' AS entity, cast(n_{e} AS BIGINT) AS n_docs, "
         f"round(CASE WHEN n_{e} > 0 THEN greatest(1.0, n / cast(n_{e} AS double)) END, 6) AS weight "
         "FROM totals"
         for e in _A2_ENTITIES
