@@ -1,0 +1,176 @@
+"""Round-trip tests for the torch/HF → npz checkpoint converter.
+
+The fixture is a synthetic state_dict in the reference's exact export layout
+(reference ``src/address_parser/models/bert_crf.py:396-417``): HF BERT weight
+names under ``bert.*``, torch ``(out, in)`` Linear orientation, ``crf.*``
+parameters, written with the torch zip serialization format (no torch in this
+container — the writer emits the format from numpy).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from indian_address_parser_spark.operators.bert_crf_np import (
+    BertCrfModel,
+    make_random_checkpoint,
+)
+from indian_address_parser_spark.operators.checkpoint_convert import (
+    convert_checkpoint,
+    export_state_dict,
+    map_state_dict,
+    read_torch_state_dict,
+    write_torch_state_dict,
+)
+
+VOCAB_WORDS = [
+    "house",
+    "no",
+    "12",
+    "mg",
+    "road",
+    "shivaji",
+    "nagar",
+    "pune",
+    "411001",
+    "flat",
+    "##01",
+    "##ar",
+]
+
+TEXTS = [
+    "house no 12 mg road shivaji nagar pune 411001",
+    "flat 12 shivaji road",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def direct_model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt_npz")
+    make_random_checkpoint(str(d), VOCAB_WORDS, seed=7)
+    return BertCrfModel.from_pretrained(str(d)), str(d)
+
+
+@pytest.fixture(scope="module")
+def hf_dir(tmp_path_factory, direct_model):
+    """Write the same weights as a reference-layout torch checkpoint dir."""
+    model, npz_dir = direct_model
+    d = tmp_path_factory.mktemp("ckpt_hf")
+    sd = export_state_dict(model.encoder.w | {
+        "crf.transitions": model.crf.transitions,
+        "crf.start": model.crf.start_transitions,
+        "crf.end": model.crf.end_transitions,
+    })
+    # torch trains/saves float32; keep float64 here so the round-trip is exact
+    write_torch_state_dict(os.path.join(d, "pytorch_model.bin"), sd)
+    with open(os.path.join(npz_dir, "vocab.txt")) as f:
+        vocab_txt = f.read()
+    with open(os.path.join(d, "vocab.txt"), "w") as f:
+        f.write(vocab_txt)
+    cfg = model.config
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model_name": "bert-base-multilingual-cased",
+                "num_labels": cfg["num_labels"],
+                "use_crf": True,
+                "hidden_size": cfg["hidden_size"],
+                "classifier_dropout": 0.1,
+                "num_attention_heads": cfg["num_heads"],
+            },
+            f,
+        )
+    with open(os.path.join(d, "tokenizer_config.json"), "w") as f:
+        json.dump({"do_lower_case": False}, f)
+    return str(d)
+
+
+def test_zip_roundtrip_preserves_arrays(tmp_path):
+    state = {
+        "a.weight": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "b.bias": np.linspace(-1, 1, 5),
+        "c.ids": np.array([3, 1, 2], dtype=np.int64),
+        "d.flag": np.array([True, False]),
+    }
+    p = str(tmp_path / "m.bin")
+    write_torch_state_dict(p, state)
+    back = read_torch_state_dict(p)
+    assert list(back) == list(state)
+    for k in state:
+        np.testing.assert_array_equal(back[k], state[k])
+        assert back[k].dtype == np.ascontiguousarray(state[k]).dtype
+
+
+def test_reader_rejects_arbitrary_globals(tmp_path):
+    import pickle
+    import zipfile
+
+    p = str(tmp_path / "evil.bin")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("archive/data.pkl", pickle.dumps(os.system))
+    with pytest.raises(pickle.UnpicklingError):
+        read_torch_state_dict(p)
+
+
+def test_map_state_dict_transposes_linears(direct_model):
+    model, _ = direct_model
+    w = model.encoder.w | {
+        "crf.transitions": model.crf.transitions,
+        "crf.start": model.crf.start_transitions,
+        "crf.end": model.crf.end_transitions,
+    }
+    sd = export_state_dict(w)
+    # torch orientation: classifier.weight is (num_labels, hidden)
+    assert sd["classifier.weight"].shape == (
+        model.config["num_labels"],
+        model.config["hidden_size"],
+    )
+    back = map_state_dict(sd)
+    for k in w:
+        np.testing.assert_array_equal(back[k], np.asarray(w[k]))
+
+
+def test_convert_checkpoint_decodes_identically(direct_model, hf_dir, tmp_path):
+    model_a, _ = direct_model
+    dst = str(tmp_path / "converted")
+    convert_checkpoint(hf_dir, dst)
+    model_b = BertCrfModel.from_pretrained(dst)
+
+    assert model_b.config["num_layers"] == model_a.config["num_layers"]
+    assert model_b.config["num_heads"] == model_a.config["num_heads"]
+    assert model_b.config["hidden_size"] == model_a.config["hidden_size"]
+
+    preds_a, offs_a, mask_a = model_a.decode_texts(TEXTS)
+    preds_b, offs_b, mask_b = model_b.decode_texts(TEXTS)
+    assert preds_a == preds_b
+    np.testing.assert_array_equal(offs_a, offs_b)
+    np.testing.assert_array_equal(mask_a, mask_b)
+
+    enc = model_a.tokenizer.encode_batch(TEXTS[:2])
+    em_a = model_a.encoder.emissions(enc["input_ids"], enc["attention_mask"])
+    em_b = model_b.encoder.emissions(enc["input_ids"], enc["attention_mask"])
+    np.testing.assert_allclose(em_a, em_b, rtol=0, atol=0)
+
+
+def test_convert_infers_heads_from_hidden(direct_model, hf_dir, tmp_path):
+    """Without num_attention_heads in config, heads = hidden // 64 fallback
+    must at least divide hidden; with an explicit override it is honored."""
+    dst = str(tmp_path / "converted_heads")
+    model_a, _ = direct_model
+    convert_checkpoint(hf_dir, dst, num_heads=model_a.config["num_heads"])
+    cfg = json.load(open(os.path.join(dst, "config.json")))
+    assert cfg["num_heads"] == model_a.config["num_heads"]
+
+
+def test_convert_rejects_vocab_mismatch(hf_dir, tmp_path):
+    import shutil
+
+    broken = str(tmp_path / "broken")
+    shutil.copytree(hf_dir, broken)
+    with open(os.path.join(broken, "vocab.txt"), "a") as f:
+        f.write("extraword\n")
+    with pytest.raises(ValueError, match="vocab.txt"):
+        convert_checkpoint(broken, str(tmp_path / "out"))
