@@ -106,13 +106,27 @@ def _star_round_window(edges: DataFrame) -> DataFrame:
     ).select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
+def _fingerprint(edges: DataFrame) -> tuple[int, int, int]:
+    """(edge count, xor-hash, max in-degree) in ONE job.
+
+    Grouping by ``v`` first makes the same agg double as the giant-component
+    probe: in canonical orientation (u > v) a component's root is always on
+    the ``v`` side, so ``max(per-v count)`` tracks the largest star's fan-in
+    — the exact quantity that decides whether the window-star formulation
+    (one partition per root) is safe this round. Partial aggregation keeps
+    the extra keying map-side; xor is associative so the two-level xor equals
+    the flat one. bit_xor is overflow-free under ANSI mode (Spark 4 default).
+    """
+    per_root = edges.groupBy("v").agg(
         F.count("*").alias("n"),
-        # bit_xor is overflow-free under ANSI mode (Spark 4 default)
-        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    )
+    row = per_root.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("h"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("d"),
     ).collect()[0]
-    return row["n"], row["h"]
+    return int(row["n"]), int(row["h"]), int(row["d"])
 
 
 def connected_components(
@@ -121,7 +135,9 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
-    stars: str = "window",
+    stars: str = "auto",
+    giant_degree_threshold: int = 1_000_000,
+    _strategy_log: list | None = None,
 ) -> DataFrame:
     """edges(src, dst) → assignments(mention_id, cluster_id).
 
@@ -136,11 +152,28 @@ def connected_components(
     only ever merge two clusters, never split one, and is checked for by
     the unit tests' brute-force comparison at test scale.
 
-    ``stars`` picks the per-round physical strategy: ``"window"`` (default,
-    2 exchanges/round, assumes bounded component sizes) or ``"join"``
+    ``stars`` picks the per-round physical strategy: ``"window"`` (2
+    exchanges/round, assumes bounded component sizes), ``"join"``
     (groupBy+join stars: partial aggregation + AQE-skew-splittable, for
-    graphs that may contain giant components). Both produce identical
-    edge sets after each round — see :func:`_star_round_window`.
+    graphs that may contain giant components), or ``"auto"`` (default):
+    each round uses the window formulation while the previous round's
+    maximum root fan-in — measured for free inside the convergence
+    fingerprint — stays below ``giant_degree_threshold``, and the join
+    formulation above it. Star contraction makes a giant component's root
+    degree approach its component size within a round or two, so the
+    per-round re-check catches mega-clusters (crawl spam/boilerplate) that
+    a one-shot input-degree test would miss. All strategies produce
+    identical edge sets after each round — see :func:`_star_round_window`.
+
+    ``_strategy_log`` (tests/debugging): a list that receives the strategy
+    chosen each round.
+
+    Thread-safety: the star loop relaxes the session-wide AQE coalesce
+    floor (``spark.sql.adaptive.coalescePartitions.minPartitionNum``) for
+    its duration and restores it after — queries run CONCURRENTLY on the
+    same SparkSession inherit the relaxed floor while the loop runs. Spark
+    offers no statement-scoped conf; run CC on its own session if that
+    matters.
     """
     spark = edges.sparkSession
     if checkpoint_dir:
@@ -188,14 +221,24 @@ def connected_components(
         cur = _truncate(
             _canonical(str_edges.select(F.xxhash64("su").alias("u"), F.xxhash64("sv").alias("v")))
         )
-        prev_fp = _fingerprint(cur)  # one job: materializes the checkpoint + aggs
+        # one job: materializes the checkpoint + aggs (count, xor, max fan-in)
+        n, h, max_deg = _fingerprint(cur)
+        prev_fp = (n, h)
 
-        step = _star_round_window if stars == "window" else (
-            lambda e: _small_star(_large_star(e))
-        )
+        def _step_join(e: DataFrame) -> DataFrame:
+            return _small_star(_large_star(e))
+
         for _ in range(max_iter):
+            if stars == "auto":
+                use_window = max_deg < giant_degree_threshold
+            else:
+                use_window = stars == "window"
+            if _strategy_log is not None:
+                _strategy_log.append("window" if use_window else "join")
+            step = _star_round_window if use_window else _step_join
             stepped = _truncate(_canonical(step(cur)))
-            fp = _fingerprint(stepped)  # single job per iteration
+            n, h, max_deg = _fingerprint(stepped)  # single job per iteration
+            fp = (n, h)
             cur = stepped
             if fp == prev_fp:
                 break

@@ -167,15 +167,16 @@ def run_pipeline(
     labeled_pairs: DataFrame | None = None,
     resume: bool = True,
     iceberg_prefix: str | None = None,
-    cc_stars: str = "window",
+    cc_stars: str = "auto",
 ) -> dict:
     """Run (or resume) the full pipeline. Returns stage row counts, timings
     and (if labeled_pairs given) pairwise P/R/F1. ``iceberg_prefix`` opts
     stage checkpoints into Iceberg tables when the runtime jar is present
     (see _write_stage); manifests drive resume either way. ``cc_stars``
-    picks the connected-components round strategy ("window" for bounded
-    component sizes, "join" for graphs with possible giant components —
-    see operators/cc.py)."""
+    picks the connected-components round strategy ("auto" measures max root
+    fan-in per round and switches window→join past the giant-component
+    threshold; "window" for bounded component sizes, "join" for graphs with
+    possible giant components — see operators/cc.py)."""
     os.makedirs(work_dir, exist_ok=True)
     fp = _input_fingerprint(pages)
     report: dict = {"input_fingerprint": fp, "stages": {}, "resumed": []}

@@ -37,10 +37,12 @@ def main() -> None:
     )
     ap.add_argument(
         "--cc-stars",
-        choices=["window", "join"],
-        default="window",
-        help="connected-components round strategy: 'window' (fastest; "
-        "assumes bounded component sizes) or 'join' (partial-agg + AQE "
+        choices=["auto", "window", "join"],
+        default="auto",
+        help="connected-components round strategy: 'auto' (default: window "
+        "rounds until the measured max root fan-in crosses the giant-"
+        "component threshold, then join rounds), 'window' (fastest; assumes "
+        "bounded component sizes) or 'join' (partial-agg + AQE "
         "skew-splittable, for inputs that may form giant clusters)",
     )
     args = ap.parse_args()

@@ -206,6 +206,48 @@ class TestConnectedComponents:
             for mbr in members:
                 assert got[mbr] == want, (mbr, got[mbr], want)
 
+    def test_auto_switches_to_join_on_mega_component(self, spark):
+        """A hub-and-spoke mega-component must push 'auto' onto the join
+        path (the window formulation would put the whole neighborhood in a
+        single window partition), with output still matching brute force."""
+        hub_edges = [("hub", f"m{i:03d}") for i in range(50)]
+        # plus a separate bounded household to show mixed graphs still work
+        hh_edges = [("a1", "a2"), ("a2", "a3")]
+        df = spark.createDataFrame(hub_edges + hh_edges, ["src", "dst"])
+        log: list = []
+        got = {
+            r["mention_id"]: r["cluster_id"]
+            for r in connected_components(
+                df, giant_degree_threshold=10, _strategy_log=log
+            ).collect()
+        }
+        assert log and all(s == "join" for s in log), log
+        assert got["hub"] == "hub"
+        assert all(got[f"m{i:03d}"] == "hub" for i in range(50))
+        assert got["a1"] == got["a2"] == got["a3"] == "a1"
+
+    def test_auto_stays_on_window_below_threshold(self, spark):
+        edges = [(f"h{i}a", f"h{i}b") for i in range(20)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        log: list = []
+        got = connected_components(df, _strategy_log=log).collect()
+        assert log and all(s == "window" for s in log), log
+        assert len(got) == 40
+
+    def test_auto_matches_fixed_strategies(self, spark):
+        edges = [
+            (f"n{(i * 13) % 60}", f"n{(i * 29 + 7) % 60}") for i in range(45)
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        runs = {
+            s: sorted(
+                (r["mention_id"], r["cluster_id"])
+                for r in connected_components(df, stars=s).collect()
+            )
+            for s in ("auto", "window", "join")
+        }
+        assert runs["auto"] == runs["window"] == runs["join"]
+
     def test_singletons_become_own_cluster(self, spark):
         edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
         mentions = spark.createDataFrame([("a",), ("b",), ("c",)], ["mention_id"])
