@@ -87,6 +87,7 @@ _SESSION_OUTPUT = T.StructType(
         T.StructField("n_mentions", T.LongType()),
         T.StructField("first_ts", T.TimestampType()),
         T.StructField("last_ts", T.TimestampType()),
+        T.StructField("closed", T.BooleanType()),
     ]
 )
 _SESSION_STATE = T.StructType(
@@ -98,22 +99,55 @@ _SESSION_STATE = T.StructType(
 )
 
 
-def stream_url_sessions(mentions_stream: DataFrame) -> DataFrame:
+def stream_url_sessions(
+    mentions_stream: DataFrame,
+    session_timeout: str | None = "30 minutes",
+    late_window: str = "1 hour",
+) -> DataFrame:
     """Custom stateful operator: per-url crawl session accumulator.
 
     ``applyInPandasWithState`` keeps one tiny state row per url (running
     mention count + first/last event time) and emits the updated session
-    row every micro-batch (update mode). This is the engine's template for
-    stateful ops Structured Streaming lacks natively — per-entity
-    accumulators, incremental block statistics — with state partitioned by
-    the group key, so it shards across executors like any keyed state.
-    State here is O(distinct urls in flight); production callers bound it
-    with a watermark-driven timeout (GroupStateTimeout.EventTimeTimeout)
-    the same way dedup bounds its seen-set.
+    row every micro-batch (update mode, ``closed=false``). This is the
+    engine's template for stateful ops Structured Streaming lacks natively
+    — per-entity accumulators, incremental block statistics — with state
+    partitioned by the group key, so it shards across executors like any
+    keyed state.
+
+    State is bounded the same way dedup bounds its seen-set: a watermark on
+    ``warc_ts`` (``late_window``) plus ``GroupStateTimeout.EventTimeTimeout``
+    — once the watermark passes a url's last event by ``session_timeout``,
+    the final session row is emitted with ``closed=true`` and the state row
+    is REMOVED, so state is O(urls inside the timeout horizon), not
+    O(distinct urls ever seen). A url seen again later starts a fresh
+    session. Pass ``session_timeout=None`` for the unbounded accumulator
+    (finite backfills only — never on a live crawl).
     """
+    bounded = session_timeout is not None
+    if bounded:
+        import pandas as pd
+
+        timeout_ms = int(pd.Timedelta(session_timeout).total_seconds() * 1000)
 
     def _update(key, pdfs, state):
         import pandas as pd
+
+        def _emit(n, first_us, last_us, closed):
+            return pd.DataFrame(
+                {
+                    "url": [key[0]],
+                    "n_mentions": [n],
+                    "first_ts": [pd.Timestamp(first_us, unit="us")],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                    "closed": [closed],
+                }
+            )
+
+        if bounded and state.hasTimedOut:
+            n, first_us, last_us = state.get
+            state.remove()
+            yield _emit(n, first_us, last_us, True)
+            return
 
         n, first_us, last_us = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
@@ -124,23 +158,32 @@ def stream_url_sessions(mentions_stream: DataFrame) -> DataFrame:
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
         state.update((n, first_us, last_us))
-        yield pd.DataFrame(
-            {
-                "url": [key[0]],
-                "n_mentions": [n],
-                "first_ts": [pd.Timestamp(first_us, unit="us")],
-                "last_ts": [pd.Timestamp(last_us, unit="us")],
-            }
-        )
+        if bounded:
+            # fire once the watermark passes last event + timeout; the
+            # timestamp must sit above the current watermark or Spark
+            # rejects it, hence the max()
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield _emit(n, first_us, last_us, False)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return mentions_stream.groupBy("url").applyInPandasWithState(
+    src = (
+        mentions_stream.withWatermark("warc_ts", late_window)
+        if bounded
+        else mentions_stream
+    )
+    return src.groupBy("url").applyInPandasWithState(
         _update,
         outputStructType=_SESSION_OUTPUT,
         stateStructType=_SESSION_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if bounded
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

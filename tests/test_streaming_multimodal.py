@@ -153,6 +153,77 @@ class TestStreaming:
         assert bad == 0
         assert got.count() > 0
 
+    def test_stream_url_sessions_timeout_evicts_state(self, spark, tmp_path):
+        """EventTimeTimeout: once the watermark passes a url's last event by
+        session_timeout, the session closes (closed=true emitted) and its
+        state row is dropped — a later re-appearance starts a FRESH session
+        instead of continuing the old count."""
+        import os
+        import time
+
+        import pandas as pd
+
+        from indian_address_parser_spark.streaming.stream import stream_url_sessions
+
+        src_dir = str(tmp_path / "t_src")
+        os.makedirs(src_dir)
+        t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+        def write_batch(name, rows, mtime):
+            pdf = pd.DataFrame(rows, columns=["url", "warc_ts"])
+            pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).astype("datetime64[us]")
+            path = os.path.join(src_dir, name)
+            pdf.to_parquet(path, coerce_timestamps="us")
+            os.utime(path, (mtime, mtime))
+
+        base = time.time() - 100
+        # batch 1: url A, 2 events. late_window=1h, timeout=30m.
+        write_batch("f1.parquet", [("A", t0), ("A", t0 + pd.Timedelta("1 minute"))], base)
+        # batch 2: url B at t0+3h → watermark after this batch = t0+2h,
+        # which is past A's last event + 30m → A times out in batch 3
+        # (timeouts only fire for groups with NO data in the batch, so
+        # batch 3 must not contain A)
+        write_batch("f2.parquet", [("B", t0 + pd.Timedelta("3 hours"))], base + 2)
+        write_batch(
+            "f3.parquet", [("C", t0 + pd.Timedelta("3 hours 1 minute"))], base + 4
+        )
+        # batch 4: A re-appears after eviction — must be a fresh session
+        # (n=1, not 3)
+        write_batch(
+            "f4.parquet", [("A", t0 + pd.Timedelta("3 hours 2 minutes"))], base + 6
+        )
+
+        stream = (
+            spark.readStream.schema("url string, warc_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        sessions = stream_url_sessions(
+            stream, session_timeout="30 minutes", late_window="1 hour"
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("url_sessions_timeout")
+            .option("checkpointLocation", str(tmp_path / "t_ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        rows = spark.table("url_sessions_timeout").collect()
+        a_rows = sorted(
+            (r for r in rows if r["url"] == "A"), key=lambda r: r["last_ts"]
+        )
+        closed = [r for r in a_rows if r["closed"]]
+        assert len(closed) == 1, a_rows
+        assert closed[0]["n_mentions"] == 2
+        # the re-appearance after eviction is a fresh session
+        fresh = [r for r in a_rows if r["last_ts"] > closed[0]["last_ts"]]
+        assert fresh and all(r["n_mentions"] == 1 for r in fresh), a_rows
+        b_rows = [r for r in rows if r["url"] == "B"]
+        assert b_rows and all(not r["closed"] for r in b_rows)
+
     def test_stream_url_sessions_stateful(self, spark, pages, tmp_path):
         """applyInPandasWithState accumulator: per-url counts match batch."""
         from indian_address_parser_spark.streaming.stream import (
