@@ -175,6 +175,10 @@ def read_label_studio(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("sample_id", "text", "tokens", "ner_tags")}
             for sid, text, anns in zip(pdf["id"], pdf["ADDRESS"], pdf["label"]):
+                # spark.read.json yields null for missing keys — a row
+                # without an id or ADDRESS cannot become a sample
+                if sid is None or pd.isna(sid) or not isinstance(text, str):
+                    continue
                 ann_dicts = [
                     {
                         "start": int(a["start"]),

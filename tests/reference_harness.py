@@ -69,6 +69,15 @@ class _RefFinder(importlib.abc.MetaPathFinder):
         return None
 
 
+def _register_stub(module: types.ModuleType) -> None:
+    """Register a stub module WITH a ModuleSpec: a module whose __spec__ is
+    None makes ``importlib.util.find_spec`` raise ValueError, which breaks
+    pyspark's import-time ``have_package`` probes when a SparkSession is
+    created after the harness installs its stubs (single-test-file runs)."""
+    module.__spec__ = importlib.machinery.ModuleSpec(module.__name__, loader=None)
+    sys.modules[module.__name__] = module
+
+
 def _stub_ml_modules() -> None:
     if "torch" not in sys.modules:
         torch = types.ModuleType("torch")
@@ -92,8 +101,8 @@ def _stub_ml_modules() -> None:
         torch.randn = lambda *a, **k: None
         for name in ("Tensor", "LongTensor", "ByteTensor", "BoolTensor"):
             setattr(torch, name, type(name, (), {}))
-        sys.modules["torch"] = torch
-        sys.modules["torch.nn"] = nn
+        _register_stub(torch)
+        _register_stub(nn)
 
     if "transformers" not in sys.modules:
         tf = types.ModuleType("transformers")
@@ -108,8 +117,8 @@ def _stub_ml_modules() -> None:
         tf.logging = _Logging()
         mo = types.ModuleType("transformers.modeling_outputs")
         mo.TokenClassifierOutput = type("TokenClassifierOutput", (), {})
-        sys.modules["transformers"] = tf
-        sys.modules["transformers.modeling_outputs"] = mo
+        _register_stub(tf)
+        _register_stub(mo)
 
     if "rapidfuzz" not in sys.modules:
         from indian_address_parser_spark.core.fuzzy import indel_ratio
@@ -130,9 +139,9 @@ def _stub_ml_modules() -> None:
         process.extract = extract
         rf.fuzz = fuzz
         rf.process = process
-        sys.modules["rapidfuzz"] = rf
-        sys.modules["rapidfuzz.fuzz"] = fuzz
-        sys.modules["rapidfuzz.process"] = process
+        _register_stub(rf)
+        _register_stub(fuzz)
+        _register_stub(process)
 
 
 _installed = False

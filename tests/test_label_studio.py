@@ -105,3 +105,25 @@ def test_spark_read_label_studio(spark, tmp_path, ref_training):
         toks, tags = ref.to_bio()
         assert list(got["tokens"]) == toks
         assert list(got["ner_tags"]) == tags
+
+
+def test_spark_read_skips_null_id_or_text_rows(spark, tmp_path):
+    """Rows with a missing id or ADDRESS (spark.read.json → null) are
+    skipped instead of crashing int(None)."""
+    clean = _gen_items(5)
+    base_path = str(tmp_path / "export_clean.json")
+    with open(base_path, "w") as f:
+        json.dump(clean, f)
+    base_ids = {r["sample_id"] for r in read_label_studio(spark, base_path).collect()}
+
+    items = clean + [
+        {"ADDRESS": "12 mg road pune", "label": []},  # no id
+        {"id": 9001, "label": []},  # no ADDRESS
+        {"id": 9002, "ADDRESS": None, "label": []},
+    ]
+    path = str(tmp_path / "export_nulls.json")
+    with open(path, "w") as f:
+        json.dump(items, f)
+    got_ids = {r["sample_id"] for r in read_label_studio(spark, path).collect()}
+    assert 9001 not in got_ids and 9002 not in got_ids
+    assert got_ids == base_ids
