@@ -7,8 +7,11 @@ sf0.001 documents.
 
 ``queries``/``oracle_sql``: one entry per operator family from SURVEY.md §2;
 every SQL-expressible one carries a DuckDB oracle (validated locally by
-``scripts/check_oracle.py`` — 34/34 hash-match at sf0.001 and sf0.01).
-Rows-only entries (genuinely non-SQL semantics): the full synthetic-pages
+``scripts/check_oracle.py`` — 37/37 hash-match at sf0.001 and sf0.01,
+including two end-to-end pipeline projections whose oracles replay the
+synthetic generator's ground-truth model rather than the algorithms:
+er_pipeline_cluster_sizes and er_extract_mention_counts). Rows-only
+entries (genuinely non-SQL row-level semantics): the full synthetic-pages
 pipeline with soundex blocking, the reference's complete rules-extraction
 path (stateful refinement + fuzzy gazetteer, which DuckDB cannot
 reproduce), and the numpy BERT-CRF tagger (transformer forward + Viterbi).
@@ -70,24 +73,50 @@ def _er_bertcrf_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformer emissions, CRF Viterbi, BIO decode) over derived addresses,
     with a deterministic seeded checkpoint (reference weights are not
     shipped). Deterministic output: per-doc entity count + label sequence."""
+    import hashlib
+
     import pyspark.sql.functions as F
 
-    from indian_address_parser_spark.operators.bert_crf_np import make_random_checkpoint
-    from indian_address_parser_spark.operators.tagger import BertCrfTagger, tag_texts
+    from indian_address_parser_spark.operators.tagger import tag_texts
     from indian_address_parser_spark.queries import q_er_synth_addr
 
-    ckpt = "/tmp/spark_graft_bertcrf_ckpt_v1"
-    if not os.path.exists(os.path.join(ckpt, "config.json")):
-        vocab = [
-            "H", "NO", "HOUSE", "GALI", "LANE", "BLOCK", "SECTOR", "NEW",
-            "DELHI", "NAGAR", "COLONY", "PARK", "ENCLAVE", ",", ".", "-",
-        ] + [str(n) for n in range(100)]
-        make_random_checkpoint(ckpt, vocab, seed=7)
+    vocab = [
+        "H", "NO", "HOUSE", "GALI", "LANE", "BLOCK", "SECTOR", "NEW",
+        "DELHI", "NAGAR", "COLONY", "PARK", "ENCLAVE", ",", ".", "-",
+    ] + [str(n) for n in range(100)]
+    seed = 7
+    # dir name keyed by checkpoint content (vocab+seed): changing either
+    # can never silently reuse a stale build
+    tag = hashlib.sha1(("|".join(vocab) + f"#seed={seed}").encode()).hexdigest()[:12]
+    ckpt = f"/tmp/spark_graft_bertcrf_ckpt_{tag}"
+
+    def _factory():
+        # built lazily INSIDE the worker process: the seeded build is
+        # deterministic, so every executor (local or remote) materializes an
+        # identical checkpoint — no driver-local path shipped across machines.
+        # Built in a temp dir + atomic rename so concurrent workers never
+        # read a half-written npz; rename onto an existing dir fails → the
+        # race loser just uses the winner's copy.
+        import os as _os
+        import shutil as _shutil
+
+        from indian_address_parser_spark.operators.bert_crf_np import (
+            make_random_checkpoint,
+        )
+        from indian_address_parser_spark.operators.tagger import BertCrfTagger
+
+        if not _os.path.exists(_os.path.join(ckpt, "config.json")):
+            tmp = f"{ckpt}.tmp.{_os.getpid()}"
+            make_random_checkpoint(tmp, vocab, seed=seed)
+            try:
+                _os.rename(tmp, ckpt)
+            except OSError:
+                _shutil.rmtree(tmp, ignore_errors=True)
+        return BertCrfTagger(ckpt)
+
     # doc_id filter, not limit(): limit takes arbitrary rows across partitions
     addrs = q_er_synth_addr(spark, sf_dir).where(F.col("doc_id") < 200)
-    tagged = tag_texts(
-        addrs.select(F.col("addr").alias("text")), lambda: BertCrfTagger(ckpt)
-    )
+    tagged = tag_texts(addrs.select(F.col("addr").alias("text")), _factory)
     return tagged.select(
         "text",
         F.size("entities").alias("n_entities"),

@@ -25,6 +25,7 @@ BENCH_QUERIES = (
     "er_clusters",
     "dedup_minhash_band_pairs",
     "dedup_minhash128_band_pairs",
+    "dedup_minhash128_xxhash_band_pairs",
     "dedup_ngram_jaccard_dfcap",
     "dedup_simhash_pairs",
     "text_token_stats",

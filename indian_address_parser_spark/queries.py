@@ -264,6 +264,99 @@ def q_er_cluster_sizes(spark, sf_dir):
     )
 
 
+# --- full-pipeline ground-truth projections --------------------------------
+#
+# The mapInPandas extraction path (reference-parity rules extractor) is not
+# SQL-expressible, so the full synthetic-pages pipeline cannot be replayed
+# operator-by-operator in DuckDB. But the pages GENERATOR is pure modular
+# arithmetic (sources/pages.py), so its ground truth is: the oracle computes
+# what a correct pipeline MUST output directly from the generative model
+# (households → variants → pages), while Spark runs the real pipeline
+# (mapInPandas extraction → soundex blocking → JW/Lev scoring → star CC).
+# This is an end-to-end correctness gate stronger than same-algorithm
+# replay: ANY stage regression (missed mention, dropped edge, merged
+# households) shifts these projections and fails the hash.
+
+_PIPE_HH = 200  # households in the driver-facing pipeline fixture
+# page count formula mirrored from sources/pages.py generate()
+_PIPE_PAGES = max(1, (_PIPE_HH * 5 // 2) // 2)
+
+
+def _pipeline_mentions_clusters(spark):
+    from indian_address_parser_spark.operators.blocking import with_block_key
+    from indian_address_parser_spark.operators.cc import (
+        attach_clusters,
+        connected_components,
+    )
+    from indian_address_parser_spark.operators.extract import extract_mentions
+    from indian_address_parser_spark.operators.pairs import candidate_pairs
+    from indian_address_parser_spark.operators.scoring import score_pairs
+    from indian_address_parser_spark.sources.pages import generate
+
+    pages = generate(spark, n_households=_PIPE_HH)["pages"]
+    mentions = extract_mentions(pages)
+    edges = score_pairs(candidate_pairs(with_block_key(mentions)))
+    clusters = attach_clusters(
+        mentions.select("mention_id"), connected_components(edges)
+    )
+    return mentions, clusters
+
+
+def q_er_pipeline_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram of the REAL pipeline on the synthetic fixture.
+
+    Correct clustering ⇔ one cluster per household ⇔ the histogram equals
+    the distribution of variants-per-household from the generative model
+    (1 if h%7==0 else h%3+2)."""
+    _, clusters = _pipeline_mentions_clusters(spark)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+def q_er_extract_mention_counts(spark, sf_dir):
+    """Per-url mention counts from the REAL mapInPandas extractor.
+
+    Correct extraction ⇔ every generated mention line is recovered exactly
+    once ⇔ per-url counts equal the generator's page-assignment arithmetic
+    (mention_idx = h*4+v, page = mention_idx % n_pages)."""
+    mentions, _ = _pipeline_mentions_clusters(spark)
+    return mentions.groupBy("url").agg(F.count("*").alias("n_mentions"))
+
+
+def _oracle_pipeline_hh() -> str:
+    return (
+        f"SELECT range AS h, CASE WHEN range % 7 = 0 THEN 1 "
+        f"ELSE (range % 3) + 2 END AS nv FROM range({_PIPE_HH})"
+    )
+
+
+def _oracle_er_pipeline_cluster_sizes() -> str:
+    return f"""
+    WITH hh AS ({_oracle_pipeline_hh()})
+    SELECT CAST(nv AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM hh GROUP BY nv
+    """
+
+
+def _oracle_er_extract_mention_counts() -> str:
+    return f"""
+    WITH hh AS ({_oracle_pipeline_hh()}),
+    m AS (
+      SELECT h, u.v FROM hh JOIN (SELECT range AS v FROM range(4)) u
+        ON u.v < hh.nv
+    ),
+    pg AS (SELECT (h * 4 + v) % {_PIPE_PAGES} AS page FROM m)
+    SELECT 'https://example.org/p/' || lpad(CAST(page AS varchar), 10, '0') AS url,
+           CAST(count(*) AS BIGINT) AS n_mentions
+    FROM pg GROUP BY page
+    """
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -360,15 +453,13 @@ def _minhash_sig(spark, sf_dir, n_perms: int) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def q_dedup_minhash128_band_pairs(spark, sf_dir):
-    """Crawl-grade LSH near-dup candidates: 128-perm MinHash in 32 bands of
-    r=4 (P[pair surfaces] = 1-(1-j^4)^32 — ~0.5 crossover at j≈0.59).
-    Bucketed band join, never all-pairs: scales as sum of bucket sizes²."""
-    r = N_PERMS // N_BANDS
-    sig = _minhash_sig(spark, sf_dir, N_PERMS)
+def _band_pairs(sig: DataFrame, r: int) -> DataFrame:
+    """(doc_id, mh0..mhN) signatures → unordered candidate pairs sharing at
+    least one band of ``r`` consecutive signature values. Bucketed band
+    join, never all-pairs: scales as sum of bucket sizes²."""
     band_cols = [
         F.concat_ws(
-            "|", F.lit(str(b)), *[F.col(f"mh{b * r + i}") for i in range(r)]
+            "|", F.lit(str(b)), *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
         )
         for b in range(N_BANDS)
     ]
@@ -380,6 +471,32 @@ def q_dedup_minhash128_band_pairs(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def q_dedup_minhash128_band_pairs(spark, sf_dir):
+    """Crawl-grade LSH near-dup candidates: 128-perm MinHash in 32 bands of
+    r=4 (P[pair surfaces] = 1-(1-j^4)^32 — ~0.5 crossover at j≈0.59).
+    md5 signatures so DuckDB replays them exactly (the oracle gate); the
+    production path is :func:`q_dedup_minhash128_xxhash_band_pairs`."""
+    return _band_pairs(_minhash_sig(spark, sf_dir, N_PERMS), N_PERMS // N_BANDS)
+
+
+def q_dedup_minhash128_xxhash_band_pairs(spark, sf_dir):
+    """Production twin of :func:`q_dedup_minhash128_band_pairs`: xxhash64
+    signatures instead of md5 — same single-groupBy shape and identical
+    32×4 band semantics, ~4× cheaper hashing (xxhash64 is a JVM codegen
+    long op; md5 allocates a hex string per shingle per permutation). No
+    DuckDB oracle (xxhash64 is Spark-internal); equivalence with the
+    oracled md5 variant is property-tested: identical shingle sets ⇒
+    identical signatures ⇒ all 32 bands collide in both, and on the
+    fixture both variants surface every true near-dup pair
+    (tests/test_dedup_sim.py)."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh{seed}")
+        for seed in range(N_PERMS)
+    ]
+    return _band_pairs(sh.groupBy("doc_id").agg(*aggs), N_PERMS // N_BANDS)
 
 
 def q_dedup_ngram_jaccard_dfcap(spark, sf_dir):
@@ -1271,6 +1388,8 @@ def oracle_sqls() -> dict[str, str]:
               SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id
             ) GROUP BY n
         """,
+        "er_pipeline_cluster_sizes": _oracle_er_pipeline_cluster_sizes(),
+        "er_extract_mention_counts": _oracle_er_extract_mention_counts(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keeper
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
@@ -1420,12 +1539,15 @@ SPARK_QUERIES = {
     "er_edges": q_er_edges,
     "er_clusters": q_er_clusters,
     "er_cluster_sizes": q_er_cluster_sizes,
+    "er_pipeline_cluster_sizes": q_er_pipeline_cluster_sizes,
+    "er_extract_mention_counts": q_er_extract_mention_counts,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_minhash_band_pairs": q_dedup_minhash_band_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash128_band_pairs": q_dedup_minhash128_band_pairs,
+    "dedup_minhash128_xxhash_band_pairs": q_dedup_minhash128_xxhash_band_pairs,
     "dedup_ngram_jaccard_dfcap": q_dedup_ngram_jaccard_dfcap,
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,

@@ -22,6 +22,9 @@ class TestEntry:
             "er_pipeline_full",
             "er_extract_mentions",
             "er_bertcrf_tag",
+            # production xxhash64 MinHash twin: xxhash64 is Spark-internal,
+            # equivalence with the oracled md5 variant is property-tested
+            "dedup_minhash128_xxhash_band_pairs",
         }
 
     def test_rows_only_queries_run(self, spark):
