@@ -7,10 +7,12 @@ sf0.001 documents.
 
 ``queries``/``oracle_sql``: one entry per operator family from SURVEY.md §2;
 every SQL-expressible one carries a DuckDB oracle (validated locally by
-``scripts/check_oracle.py`` — 37/37 hash-match at sf0.001 and sf0.01,
+``scripts/check_oracle.py`` — 38/38 hash-match at sf0.001 and sf0.01,
 including two end-to-end pipeline projections whose oracles replay the
-synthetic generator's ground-truth model rather than the algorithms:
-er_pipeline_cluster_sizes and er_extract_mention_counts). Rows-only
+synthetic generator's ground-truth model rather than the algorithms
+(er_pipeline_cluster_sizes, er_extract_mention_counts) and the learned
+k-means IVF whose oracle embeds the same trained centroid literals the
+Spark plan uses). Rows-only
 entries (genuinely non-SQL row-level semantics): the full synthetic-pages
 pipeline with soundex blocking, the reference's complete rules-extraction
 path (stateful refinement + fuzzy gazetteer, which DuckDB cannot

@@ -31,6 +31,7 @@ BENCH_QUERIES = (
     "text_token_stats",
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "sim_topk_ivf_kmeans",
     "agg_pricing_summary",
     "window_top_order_per_cust",
 )

@@ -755,6 +755,150 @@ def q_sim_topk_ivf_label(spark, sf_dir, k: int = 3):
     )
 
 
+IVF_CELLS = 8  # learned coarse quantizer size (k-means cells)
+IVF_NPROBE = 2  # cells probed per query
+IVF_TRAIN_N = 256  # driver-side training sample size
+IVF_ITERS = 10  # Lloyd iterations (fixed count: deterministic)
+
+
+def train_ivf_centroids(
+    sf_dir: str,
+    n_cells: int = IVF_CELLS,
+    train_n: int = IVF_TRAIN_N,
+    iters: int = IVF_ITERS,
+) -> list[list[float]]:
+    """Deterministic spherical k-means over a bounded sample: the LEARNED
+    coarse quantizer for IVF search (vs :func:`q_sim_topk_ivf_label`'s
+    given-label cells).
+
+    Training is a driver/single-node step by design — the FAISS shape: at
+    100 TB you sample ~10⁵ vectors (``df.sample().limit(n).collect()``),
+    run Lloyd's locally, and broadcast the k·dim centroid matrix; only
+    assignment and search distribute. Here the sample is the ``train_n``
+    lowest vec_ids read driver-side via pyarrow, init is the first
+    ``n_cells`` sample vectors, iteration count is fixed, and ties break
+    on lowest cell index — bit-deterministic, so the Spark plan and the
+    DuckDB oracle embed IDENTICAL centroid literals (rounded to 6dp)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pdf = t.to_pandas().sort_values("vec_id").head(train_n)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        # assign by max dot (unit vectors: equivalent to min angle);
+        # argmax breaks ties on lowest cell index
+        a = (X @ C.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = X[a == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / np.linalg.norm(m)
+    return [[round(float(x), 6) for x in row] for row in C]
+
+
+def q_sim_topk_ivf_kmeans(spark, sf_dir, k: int = 3, nprobe: int = IVF_NPROBE):
+    """IVF top-k with a LEARNED coarse quantizer: assign every vector to
+    its argmax-dot k-means cell, probe the ``nprobe`` best cells per
+    query, exact cosine + window top-k inside the probed cells.
+
+    Scale shape: assignment is a narrow per-row expression (cells × dot
+    folds — no shuffle); search joins on cell (bucketed, never all-pairs;
+    candidate volume ≈ n·nprobe/n_cells per query side). argmax dot over
+    centroids is scale-invariant in |v|, so raw vectors need no
+    normalization at assignment time."""
+    from pyspark.sql import Window
+
+    cents = train_ivf_centroids(sf_dir)
+    e = _emb_double(spark, sf_dir)
+
+    def dot_to(c: list[float]):
+        arr = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dots = e.select(
+        "vec_id",
+        F.posexplode(F.array(*[dot_to(c) for c in cents])).alias("cell", "dot"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cell"))
+    ranked = dots.withColumn("crk", F.row_number().over(w))
+    assign = ranked.where(F.col("crk") == 1).select(
+        F.col("vec_id").alias("id_b"), "cell"
+    )
+    probes = ranked.where(F.col("crk") <= nprobe).select(
+        F.col("vec_id").alias("id_a"), F.col("cell").alias("pcell")
+    )
+    cand = probes.join(
+        assign, (F.col("pcell") == F.col("cell")) & (F.col("id_a") != F.col("id_b"))
+    ).select("id_a", "id_b")
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= k)
+        .select("id_a", "id_b", "cos", "rk")
+    )
+
+
+def _oracle_sim_topk_ivf_kmeans(sf_dir: str, k: int = 3, nprobe: int = IVF_NPROBE) -> str:
+    cents = train_ivf_centroids(sf_dir)
+    rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(f"{x:.6f}" for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(cell, c) AS (VALUES {rows}),
+    dots AS (
+      SELECT e.vec_id, ct.cell,
+             list_dot_product(e.embedding::DOUBLE[], ct.c) AS dot
+      FROM embeddings e CROSS JOIN cents ct
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, cell ASC) AS crk
+      FROM dots
+    ),
+    assign AS (SELECT vec_id AS id_b, cell FROM ranked WHERE crk = 1),
+    probes AS (SELECT vec_id AS id_a, cell FROM ranked WHERE crk <= {nprobe}),
+    cand AS (
+      SELECT q.id_a, d.id_b
+      FROM probes q JOIN assign d ON d.cell = q.cell AND d.id_b <> q.id_a
+    )
+    SELECT id_a, id_b, cos, rk FROM (
+      SELECT id_a, id_b,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos,
+             row_number() OVER (
+               PARTITION BY id_a
+               ORDER BY list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) DESC,
+                        id_b ASC
+             ) AS rk
+      FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+                JOIN embeddings eb ON eb.vec_id = id_b
+    ) WHERE rk <= {k}
+    """
+
+
 # --- training-side weighting (A2/A3, reference training/train.py:39-99) ----
 
 # reference train.py:39 — minority entities that get boosted sampling weight;
@@ -1331,7 +1475,11 @@ def _oracle_train_weighted_sample() -> str:
     )
 
 
-def oracle_sqls() -> dict[str, str]:
+def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """DuckDB oracle per query. ``sf_dir`` matters only for oracles that
+    embed data-trained literals (the learned-IVF centroids): it must point
+    at the SAME tables the Spark side will read — the default is the sf
+    the driver gate runs at."""
     norm = normalize_sql(addr_sql())
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     return {
@@ -1505,6 +1653,7 @@ def oracle_sqls() -> dict[str, str]:
                 ON a.label = b.label AND a.vec_id <> b.vec_id
             ) WHERE rk <= 3
         """,
+        "sim_topk_ivf_kmeans": _oracle_sim_topk_ivf_kmeans(sf_dir),
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -1564,6 +1713,7 @@ SPARK_QUERIES = {
     "split_train_val_test": q_split_train_val_test,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_topk_ivf_label": q_sim_topk_ivf_label,
+    "sim_topk_ivf_kmeans": q_sim_topk_ivf_kmeans,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_mktsegment_orders": q_join_mktsegment_orders,
     "window_top_order_per_cust": q_window_top_order_per_cust,

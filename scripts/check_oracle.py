@@ -51,7 +51,7 @@ def run_check(sf_dir: str, only: list[str] | None = None) -> dict:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    oracles = oracle_sqls()
+    oracles = oracle_sqls(sf_dir)
     results = {}
     for name, fn in SPARK_QUERIES.items():
         if only and name not in only:

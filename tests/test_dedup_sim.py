@@ -264,3 +264,40 @@ def test_minhash_xxhash_variant_matches_md5_semantics(spark):
     assert high, "fixture lost its true near-dup pairs"
     assert high <= md5_pairs, sorted(high - md5_pairs)
     assert high <= xx_pairs, sorted(high - xx_pairs)
+
+
+def test_ivf_kmeans_trainer_deterministic_and_unit():
+    from indian_address_parser_spark.queries import IVF_CELLS, train_ivf_centroids
+
+    a = train_ivf_centroids(SF_DIR)
+    b = train_ivf_centroids(SF_DIR)
+    assert a == b
+    assert len(a) == IVF_CELLS
+    import math
+
+    for c in a:
+        n = math.sqrt(sum(x * x for x in c))
+        assert abs(n - 1.0) < 1e-3  # unit up to the 6dp literal rounding
+
+
+def test_ivf_kmeans_recall_vs_exact(spark):
+    """Learned-IVF top-3 vs the exact brute-force top-3: nprobe=2 of 8
+    cells must recover a solid fraction of true neighbors (deterministic
+    fixture + deterministic trainer, so this is a fixed number — the floor
+    just leaves slack for fixture regeneration)."""
+    from indian_address_parser_spark.queries import (
+        q_sim_cosine_topk,
+        q_sim_topk_ivf_kmeans,
+    )
+
+    exact = {}
+    for r in q_sim_cosine_topk(spark, SF_DIR).collect():
+        if r["rk"] <= 3:
+            exact.setdefault(r["id_a"], set()).add(r["id_b"])
+    ivf = {}
+    for r in q_sim_topk_ivf_kmeans(spark, SF_DIR).collect():
+        ivf.setdefault(r["id_a"], set()).add(r["id_b"])
+    hits = sum(len(ivf.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(n) for n in exact.values())
+    recall = hits / total
+    assert recall >= 0.5, recall
