@@ -40,31 +40,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def _er_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the real pipeline on the deterministic synthetic pages
     fixture — mapInPandas rules extraction (reference-parity), soundex
-    blocking with skew splitting, weighted JW/Lev scoring, star CC."""
-    from indian_address_parser_spark.operators.blocking import with_block_key
-    from indian_address_parser_spark.operators.cc import attach_clusters, connected_components
-    from indian_address_parser_spark.operators.extract import extract_mentions
-    from indian_address_parser_spark.operators.pairs import candidate_pairs
-    from indian_address_parser_spark.operators.scoring import score_pairs
-    from indian_address_parser_spark.sources.pages import generate
+    blocking with skew splitting, weighted JW/Lev scoring, star CC. Same
+    wiring as the oracled cluster-size projection (queries.py
+    _pipeline_clusters)."""
+    from indian_address_parser_spark.queries import _pipeline_clusters
 
-    pages = generate(spark, n_households=200)["pages"]
-    mentions = extract_mentions(pages)
-    edges = score_pairs(candidate_pairs(with_block_key(mentions)))
-    clusters = attach_clusters(
-        mentions.select("mention_id"), connected_components(edges)
-    )
-    return clusters.select("mention_id", "cluster_id")
+    return _pipeline_clusters(spark).select("mention_id", "cluster_id")
 
 
 def _er_extract_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: full reference-parity extraction (E1+E2+R1-R8) over the
     synthetic pages fixture, flattened mention fields."""
-    from indian_address_parser_spark.operators.extract import extract_mentions
-    from indian_address_parser_spark.sources.pages import generate
+    from indian_address_parser_spark.queries import _pipeline_mentions
 
-    pages = generate(spark, n_households=200)["pages"]
-    return extract_mentions(pages).select(
+    return _pipeline_mentions(spark).select(
         "mention_id", "normalized", "house_no", "street", "locality",
         "city", "state", "pincode",
     )

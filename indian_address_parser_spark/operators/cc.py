@@ -107,24 +107,32 @@ def _star_round_window(edges: DataFrame) -> DataFrame:
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int, int]:
-    """(edge count, xor-hash, max in-degree) in ONE job.
+    """(edge count, xor-hash, max node degree) in ONE job.
 
-    Grouping by ``v`` first makes the same agg double as the giant-component
-    probe: in canonical orientation (u > v) a component's root is always on
-    the ``v`` side, so ``max(per-v count)`` tracks the largest star's fan-in
-    — the exact quantity that decides whether the window-star formulation
-    (one partition per root) is safe this round. Partial aggregation keeps
-    the extra keying map-side; xor is associative so the two-level xor equals
-    the flat one. bit_xor is overflow-free under ANSI mode (Spark 4 default).
+    The same agg doubles as the giant-component probe: each edge explodes
+    to both endpoints, so ``max(per-node count)`` is the FULL symmetrized
+    degree — the partition size the window-star formulation would build
+    for that node (probing only the canonical v side would miss an input
+    hub whose own hash sorts below its neighbors'). The edge count and xor
+    come from the side=0 copy only (counting both copies would make every
+    edge's hash cancel its twin). Partial aggregation keeps the keying
+    map-side; xor is associative so the two-level xor equals the flat one;
+    bit_xor is overflow-free under ANSI mode (Spark 4 default) and, like
+    all Spark aggs, skips the NULLs the CASE produces for side=1 rows.
     """
-    per_root = edges.groupBy("v").agg(
-        F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    doubled = edges.select(
+        F.xxhash64("u", "v").alias("h"),
+        F.posexplode(F.array("u", "v")).alias("side", "node"),
     )
-    row = per_root.agg(
-        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
-        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("h"),
-        F.coalesce(F.max("n"), F.lit(0)).alias("d"),
+    per_node = doubled.groupBy("node").agg(
+        F.count("*").alias("deg"),
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("ne"),
+        F.expr("bit_xor(CASE WHEN side = 0 THEN h END)").alias("hx"),
+    )
+    row = per_node.agg(
+        F.coalesce(F.sum("ne"), F.lit(0)).alias("n"),
+        F.coalesce(F.expr("bit_xor(hx)"), F.lit(0)).alias("h"),
+        F.coalesce(F.max("deg"), F.lit(0)).alias("d"),
     ).collect()[0]
     return int(row["n"]), int(row["h"]), int(row["d"])
 
@@ -157,7 +165,7 @@ def connected_components(
     (groupBy+join stars: partial aggregation + AQE-skew-splittable, for
     graphs that may contain giant components), or ``"auto"`` (default):
     each round uses the window formulation while the previous round's
-    maximum root fan-in — measured for free inside the convergence
+    maximum symmetrized node degree — measured for free inside the convergence
     fingerprint — stays below ``giant_degree_threshold``, and the join
     formulation above it. Star contraction makes a giant component's root
     degree approach its component size within a round or two, so the
@@ -221,7 +229,7 @@ def connected_components(
         cur = _truncate(
             _canonical(str_edges.select(F.xxhash64("su").alias("u"), F.xxhash64("sv").alias("v")))
         )
-        # one job: materializes the checkpoint + aggs (count, xor, max fan-in)
+        # one job: materializes the checkpoint + aggs (count, xor, max degree)
         n, h, max_deg = _fingerprint(cur)
         prev_fp = (n, h)
 

@@ -73,11 +73,31 @@ class _StorageType:
 
 
 def _rebuild_tensor(flat: np.ndarray, offset: int, size, stride, *unused) -> np.ndarray:
-    """numpy twin of ``torch._utils._rebuild_tensor_v2`` (storage view → array)."""
+    """numpy twin of ``torch._utils._rebuild_tensor_v2`` (storage view → array).
+
+    offset/size/stride come from the (untrusted) pickle, so they are
+    bounds-checked against the storage BEFORE ``as_strided`` — otherwise a
+    crafted checkpoint could alias process memory far past the buffer
+    (info leak into the converted weights, or a segfault). Saved torch
+    tensors are contiguous with non-negative strides; anything else is
+    rejected."""
+    offset = int(offset)
     size = tuple(int(s) for s in size)
     stride = tuple(int(s) for s in stride)
+    if offset < 0 or any(s < 0 for s in size) or any(st < 0 for st in stride):
+        raise pickle.UnpicklingError("negative tensor offset/size/stride")
     if not size:
+        if offset >= flat.size:
+            raise pickle.UnpicklingError("scalar offset past end of storage")
         return flat[offset : offset + 1].copy().reshape(())
+    if any(s == 0 for s in size):
+        return np.zeros(size, dtype=flat.dtype)
+    last = offset + sum((s - 1) * st for s, st in zip(size, stride))
+    if last >= flat.size:
+        raise pickle.UnpicklingError(
+            f"tensor (offset={offset}, size={size}, stride={stride}) "
+            f"addresses element {last} of a {flat.size}-element storage"
+        )
     item = flat.dtype.itemsize
     view = np.lib.stride_tricks.as_strided(
         flat[offset:], shape=size, strides=tuple(s * item for s in stride)
@@ -358,7 +378,11 @@ def convert_checkpoint(
     num_layers = len(layer_ids)
     if layer_ids != list(range(num_layers)):
         raise ValueError(f"non-contiguous encoder layers {layer_ids}")
-    heads = num_heads or int(ref_cfg.get("num_attention_heads") or 0) or hidden // 64
+    heads = (
+        num_heads
+        or int(ref_cfg.get("num_attention_heads") or 0)
+        or max(1, hidden // 64)  # BERT head-size convention; ≥1 for tiny models
+    )
     if hidden % heads:
         raise ValueError(f"hidden {hidden} not divisible by num_heads {heads}")
     num_labels = int(weights["classifier.b"].shape[0])

@@ -173,8 +173,8 @@ def run_pipeline(
     and (if labeled_pairs given) pairwise P/R/F1. ``iceberg_prefix`` opts
     stage checkpoints into Iceberg tables when the runtime jar is present
     (see _write_stage); manifests drive resume either way. ``cc_stars``
-    picks the connected-components round strategy ("auto" measures max root
-    fan-in per round and switches window→join past the giant-component
+    picks the connected-components round strategy ("auto" measures the max
+    node degree per round and switches window→join past the giant-component
     threshold; "window" for bounded component sizes, "join" for graphs with
     possible giant components — see operators/cc.py)."""
     os.makedirs(work_dir, exist_ok=True)

@@ -282,24 +282,36 @@ _PIPE_HH = 200  # households in the driver-facing pipeline fixture
 _PIPE_PAGES = max(1, (_PIPE_HH * 5 // 2) // 2)
 
 
-def _pipeline_mentions_clusters(spark):
+def _pipeline_mentions(spark):
+    """Real mapInPandas extraction over the synthetic pages fixture."""
+    from indian_address_parser_spark.operators.extract import extract_mentions
+    from indian_address_parser_spark.sources.pages import generate
+
+    pages = generate(spark, n_households=_PIPE_HH)["pages"]
+    return extract_mentions(pages)
+
+
+def _pipeline_clusters(spark):
+    """Full chain: extraction → blocking → scoring → CC → attach.
+
+    Shared by the oracled cluster-size projection below AND the rows-only
+    ``er_pipeline_full`` driver entry (__spark_entry__.py) — one wiring,
+    one fixture size. NOTE: connected_components launches its star-loop
+    jobs at DataFrame-construction time (checkpoint + fingerprint per
+    round), so only call this when clusters are actually needed."""
     from indian_address_parser_spark.operators.blocking import with_block_key
     from indian_address_parser_spark.operators.cc import (
         attach_clusters,
         connected_components,
     )
-    from indian_address_parser_spark.operators.extract import extract_mentions
     from indian_address_parser_spark.operators.pairs import candidate_pairs
     from indian_address_parser_spark.operators.scoring import score_pairs
-    from indian_address_parser_spark.sources.pages import generate
 
-    pages = generate(spark, n_households=_PIPE_HH)["pages"]
-    mentions = extract_mentions(pages)
+    mentions = _pipeline_mentions(spark)
     edges = score_pairs(candidate_pairs(with_block_key(mentions)))
-    clusters = attach_clusters(
+    return attach_clusters(
         mentions.select("mention_id"), connected_components(edges)
     )
-    return mentions, clusters
 
 
 def q_er_pipeline_cluster_sizes(spark, sf_dir):
@@ -308,7 +320,7 @@ def q_er_pipeline_cluster_sizes(spark, sf_dir):
     Correct clustering ⇔ one cluster per household ⇔ the histogram equals
     the distribution of variants-per-household from the generative model
     (1 if h%7==0 else h%3+2)."""
-    _, clusters = _pipeline_mentions_clusters(spark)
+    clusters = _pipeline_clusters(spark)
     return (
         clusters.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))
@@ -322,9 +334,11 @@ def q_er_extract_mention_counts(spark, sf_dir):
 
     Correct extraction ⇔ every generated mention line is recovered exactly
     once ⇔ per-url counts equal the generator's page-assignment arithmetic
-    (mention_idx = h*4+v, page = mention_idx % n_pages)."""
-    mentions, _ = _pipeline_mentions_clusters(spark)
-    return mentions.groupBy("url").agg(F.count("*").alias("n_mentions"))
+    (mention_idx = h*4+v, page = mention_idx % n_pages). Builds only the
+    extraction stage — not the (eagerly-executing) clustering chain."""
+    return _pipeline_mentions(spark).groupBy("url").agg(
+        F.count("*").alias("n_mentions")
+    )
 
 
 def _oracle_pipeline_hh() -> str:
@@ -1482,7 +1496,7 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     the driver gate runs at."""
     norm = normalize_sql(addr_sql())
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    return {
+    sqls = {
         "er_synth_addr": f"SELECT doc_id, {addr_sql()} AS addr FROM documents",
         "er_normalize": f"SELECT doc_id, {norm} AS normalized FROM documents",
         "er_extract_fields": _oracle_norm_fields(),
@@ -1653,7 +1667,6 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 ON a.label = b.label AND a.vec_id <> b.vec_id
             ) WHERE rk <= 3
         """,
-        "sim_topk_ivf_kmeans": _oracle_sim_topk_ivf_kmeans(sf_dir),
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -1675,6 +1688,15 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ) WHERE rk = 1
         """,
     }
+    try:
+        # the only data-trained oracle: reads the embeddings parquet at
+        # sf_dir to embed the k-means centroid literals. If the table is
+        # unreadable, omit the entry (the driver then records a rows-only
+        # check for sim_topk_ivf_kmeans) instead of failing every oracle.
+        sqls["sim_topk_ivf_kmeans"] = _oracle_sim_topk_ivf_kmeans(sf_dir)
+    except OSError:
+        pass
+    return sqls
 
 
 SPARK_QUERIES = {

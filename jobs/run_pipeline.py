@@ -40,7 +40,7 @@ def main() -> None:
         choices=["auto", "window", "join"],
         default="auto",
         help="connected-components round strategy: 'auto' (default: window "
-        "rounds until the measured max root fan-in crosses the giant-"
+        "rounds until the measured max node degree crosses the giant-"
         "component threshold, then join rounds), 'window' (fastest; assumes "
         "bounded component sizes) or 'join' (partial-agg + AQE "
         "skew-splittable, for inputs that may form giant clusters)",

@@ -155,14 +155,64 @@ def test_convert_checkpoint_decodes_identically(direct_model, hf_dir, tmp_path):
     np.testing.assert_allclose(em_a, em_b, rtol=0, atol=0)
 
 
-def test_convert_infers_heads_from_hidden(direct_model, hf_dir, tmp_path):
-    """Without num_attention_heads in config, heads = hidden // 64 fallback
-    must at least divide hidden; with an explicit override it is honored."""
+def test_convert_honors_explicit_num_heads(direct_model, hf_dir, tmp_path):
     dst = str(tmp_path / "converted_heads")
     model_a, _ = direct_model
     convert_checkpoint(hf_dir, dst, num_heads=model_a.config["num_heads"])
     cfg = json.load(open(os.path.join(dst, "config.json")))
     assert cfg["num_heads"] == model_a.config["num_heads"]
+
+
+def test_convert_infers_heads_without_config(direct_model, hf_dir, tmp_path):
+    """With neither an explicit num_heads nor num_attention_heads in the
+    config, the converter falls back to the BERT head-size convention
+    max(1, hidden // 64) — which for this tiny 32-wide fixture is 1."""
+    import shutil
+
+    src = str(tmp_path / "no_heads_cfg")
+    shutil.copytree(hf_dir, src)
+    cfg_path = os.path.join(src, "config.json")
+    cfg = json.load(open(cfg_path))
+    del cfg["num_attention_heads"]
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    dst = str(tmp_path / "converted_fallback")
+    convert_checkpoint(src, dst)
+    out_cfg = json.load(open(os.path.join(dst, "config.json")))
+    assert out_cfg["num_heads"] == 1
+    # still loadable and decodable (1 head of width 32)
+    model = BertCrfModel.from_pretrained(dst)
+    preds, _, _ = model.decode_texts(TEXTS[:1])
+    assert len(preds) == 1
+
+
+def test_reader_rejects_out_of_bounds_tensor(tmp_path):
+    """A crafted size/stride that addresses past the storage must be
+    rejected before as_strided can alias process memory."""
+    import pickle
+    import zipfile
+
+    from indian_address_parser_spark.operators.checkpoint_convert import (
+        _Global,
+        _StateDictPickler,
+        _StorageHandle,
+        _TensorStub,
+    )
+    from collections import OrderedDict
+    import io
+
+    # 10-element storage, tensor claims 1000 elements
+    evil = OrderedDict(
+        {"w": _TensorStub(_StorageHandle("0", "FloatStorage", 10), (1000,), (1,))}
+    )
+    buf = io.BytesIO()
+    _StateDictPickler(buf, protocol=2).dump(evil)
+    p = str(tmp_path / "oob.bin")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/data/0", np.zeros(10, np.float32).tobytes())
+    with pytest.raises(pickle.UnpicklingError, match="addresses element"):
+        read_torch_state_dict(p)
 
 
 def test_convert_rejects_vocab_mismatch(hf_dir, tmp_path):
