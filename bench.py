@@ -92,13 +92,21 @@ def run_er_pipeline(spark, n_households: int) -> dict:
     # twice — uncached, BOTH join branches would re-run the block-size
     # aggregation+join). scoring + CC stay fused: edges stream straight
     # into the star loop's input checkpoint, no extra materialization.
+    from indian_address_parser_spark.operators.pairs import (
+        BLOCK_INPUT_COLS,
+        PAIR_INPUT_COLS,
+    )
+
     t = time.perf_counter()
-    mentions = extract_mentions(pages).persist(ser)
+    # persist the pruned extract→block projection (BLOCK_INPUT_COLS), not
+    # the wide mention payload: raw + the entities span array are ~4× the
+    # pruned row and nothing downstream reads them — the wide cache made
+    # both this stage's write and the next stage's read disk-bound
+    # (measured ~110 s constant at ANY core count at 4.8M pages)
+    mentions = extract_mentions(pages).select(*BLOCK_INPUT_COLS).persist(ser)
     mentions.count()
     stage_secs["extract"] = round(time.perf_counter() - t, 1)
     t = time.perf_counter()
-
-    from indian_address_parser_spark.operators.pairs import PAIR_INPUT_COLS
 
     # persist only what the pair self-join reads (see PAIR_INPUT_COLS) —
     # the wide mention payload anti-scales the block stage at 10⁶+ pages

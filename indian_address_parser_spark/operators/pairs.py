@@ -30,6 +30,21 @@ PAIR_FIELDS = (
 # persisted, driven by materializing ~500B/row instead of ~120B/row.
 PAIR_INPUT_COLS = ("mention_id", "block_key", "block_size", "join_key", *PAIR_FIELDS)
 
+# Everything the extract→blocking hand-off needs (with_block_key's inputs:
+# the raw fields behind PAIR_FIELDS, the normalized text for the city
+# fallback regex, plus the id the final cluster attach joins on). Persist
+# THIS projection of mentions, not the full payload: raw text and the
+# entities span array dominate the serialized bytes (~4× the pruned row)
+# and are read by nothing downstream of extraction — at 4.8M pages the
+# wide cache pushed both the blocking pass and the extraction stage's
+# cache write into disk-bandwidth-bound territory (constant ~110 s at any
+# core count).
+BLOCK_INPUT_COLS = (
+    "mention_id", "normalized",
+    "house_no", "street", "locality", "city", "state", "pincode",
+    "block", "sector", "khasra",
+)
+
 
 def candidate_pairs(blocked: DataFrame) -> DataFrame:
     """→ one row per unordered candidate pair with both sides' fields."""
