@@ -769,16 +769,34 @@ def q_sim_topk_ivf_label(spark, sf_dir, k: int = 3):
     )
 
 
-IVF_CELLS = 8  # learned coarse quantizer size (k-means cells)
-IVF_NPROBE = 2  # cells probed per query
-IVF_TRAIN_N = 256  # driver-side training sample size
+IVF_MIN_CELLS = 8  # learned coarse quantizer size bounds (k-means cells)
+IVF_MAX_CELLS = 64
 IVF_ITERS = 10  # Lloyd iterations (fixed count: deterministic)
+
+
+def _ivf_table_rows(sf_dir: str) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+
+
+def ivf_cells_for(n_rows: int) -> int:
+    """FAISS-style sizing: cells ≈ √n, clamped — per-cell population and
+    cell count both grow as √n, so candidate volume per query stays
+    O(nprobe·√n) instead of O(n/constant)."""
+    return min(IVF_MAX_CELLS, max(IVF_MIN_CELLS, int(n_rows**0.5 // 2)))
+
+
+def ivf_nprobe_for(n_cells: int) -> int:
+    return max(2, n_cells // 8)
 
 
 def train_ivf_centroids(
     sf_dir: str,
-    n_cells: int = IVF_CELLS,
-    train_n: int = IVF_TRAIN_N,
+    n_cells: int | None = None,
+    train_n: int | None = None,
     iters: int = IVF_ITERS,
 ) -> list[list[float]]:
     """Deterministic spherical k-means over a bounded sample: the LEARNED
@@ -798,6 +816,10 @@ def train_ivf_centroids(
     import numpy as np
     import pyarrow.parquet as pq
 
+    if n_cells is None:
+        n_cells = ivf_cells_for(_ivf_table_rows(sf_dir))
+    if train_n is None:
+        train_n = max(256, 16 * n_cells)
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
@@ -817,7 +839,7 @@ def train_ivf_centroids(
     return [[round(float(x), 6) for x in row] for row in C]
 
 
-def q_sim_topk_ivf_kmeans(spark, sf_dir, k: int = 3, nprobe: int = IVF_NPROBE):
+def q_sim_topk_ivf_kmeans(spark, sf_dir, k: int = 3, nprobe: int | None = None):
     """IVF top-k with a LEARNED coarse quantizer: assign every vector to
     its argmax-dot k-means cell, probe the ``nprobe`` best cells per
     query, exact cosine + window top-k inside the probed cells.
@@ -830,6 +852,8 @@ def q_sim_topk_ivf_kmeans(spark, sf_dir, k: int = 3, nprobe: int = IVF_NPROBE):
     from pyspark.sql import Window
 
     cents = train_ivf_centroids(sf_dir)
+    if nprobe is None:
+        nprobe = ivf_nprobe_for(len(cents))
     e = _emb_double(spark, sf_dir)
 
     def dot_to(c: list[float]):
@@ -874,8 +898,10 @@ def q_sim_topk_ivf_kmeans(spark, sf_dir, k: int = 3, nprobe: int = IVF_NPROBE):
     )
 
 
-def _oracle_sim_topk_ivf_kmeans(sf_dir: str, k: int = 3, nprobe: int = IVF_NPROBE) -> str:
+def _oracle_sim_topk_ivf_kmeans(sf_dir: str, k: int = 3, nprobe: int | None = None) -> str:
     cents = train_ivf_centroids(sf_dir)
+    if nprobe is None:
+        nprobe = ivf_nprobe_for(len(cents))
     rows = ", ".join(
         "(" + str(i) + ", [" + ", ".join(f"{x:.6f}" for x in c) + "]::DOUBLE[])"
         for i, c in enumerate(cents)
