@@ -785,7 +785,10 @@ def _ivf_table_rows(sf_dir: str) -> int:
 def ivf_cells_for(n_rows: int) -> int:
     """FAISS-style sizing: cells ≈ √n, clamped — per-cell population and
     cell count both grow as √n, so candidate volume per query stays
-    O(nprobe·√n) instead of O(n/constant)."""
+    O(nprobe·√n) instead of O(n/constant). The 64-cell cap fits the
+    sandbox fixtures (≤5k vectors) AND the literal-embedding oracle; at
+    crawl scale raise IVF_MAX_CELLS (√10⁹ ≈ 31k cells) and broadcast the
+    centroid matrix instead of inlining it in the plan."""
     return min(IVF_MAX_CELLS, max(IVF_MIN_CELLS, int(n_rows**0.5 // 2)))
 
 
