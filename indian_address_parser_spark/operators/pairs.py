@@ -13,11 +13,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Fields each side carries into scoring (incl. precomputed digit signatures).
-# Keep this minimal — every column here is shuffled twice in the self-join.
-PAIR_FIELDS = (
+# Raw address fields scoring consumes (digit signatures are derived from
+# the first five in blocking.with_block_key) — single source for both
+# projections below so adding a field cannot silently drop it from one.
+RAW_FIELDS = (
     "house_no", "street", "locality", "city", "state", "pincode",
     "block", "sector", "khasra",
+)
+
+# Fields each side carries into scoring (incl. precomputed digit signatures).
+# Keep this minimal — every column here is shuffled twice in the self-join.
+PAIR_FIELDS = RAW_FIELDS + (
     "house_no_digits", "street_digits", "block_digits", "sector_digits",
     "khasra_digits",
 )
@@ -39,11 +45,7 @@ PAIR_INPUT_COLS = ("mention_id", "block_key", "block_size", "join_key", *PAIR_FI
 # wide cache pushed both the blocking pass and the extraction stage's
 # cache write into disk-bandwidth-bound territory (constant ~110 s at any
 # core count).
-BLOCK_INPUT_COLS = (
-    "mention_id", "normalized",
-    "house_no", "street", "locality", "city", "state", "pincode",
-    "block", "sector", "khasra",
-)
+BLOCK_INPUT_COLS = ("mention_id", "normalized") + RAW_FIELDS
 
 
 def candidate_pairs(blocked: DataFrame) -> DataFrame:

@@ -779,7 +779,11 @@ def _ivf_table_rows(sf_dir: str) -> int:
 
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    # read_table (not ParquetFile) so directory-style datasets — the shape
+    # Spark writes — work the same as single files; one thin column only
+    return pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).num_rows
 
 
 def ivf_cells_for(n_rows: int) -> int:
@@ -819,13 +823,13 @@ def train_ivf_centroids(
     import numpy as np
     import pyarrow.parquet as pq
 
-    if n_cells is None:
-        n_cells = ivf_cells_for(_ivf_table_rows(sf_dir))
-    if train_n is None:
-        train_n = max(256, 16 * n_cells)
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
+    if n_cells is None:
+        n_cells = ivf_cells_for(t.num_rows)  # one read: size from the table itself
+    if train_n is None:
+        train_n = max(256, 16 * n_cells)
     pdf = t.to_pandas().sort_values("vec_id").head(train_n)
     X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)

@@ -17,7 +17,7 @@ Construction (vocab drawn from the reference's balanced generator,
   matching field values so true pairs score high.
 - distinct households colliding into one block differ in house-number
   digits, which the scorer treats as a hard feature.
-- pages hold 1-3 mention lines between filler lines (filler contains no
+- pages hold 0-4 mention lines between filler lines (filler contains no
   PIN/DELHI so the candidate detector skips it); ``mention_id = url#seq``
   is reproducible from the page text alone.
 

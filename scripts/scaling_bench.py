@@ -81,6 +81,18 @@ def main() -> None:
         "high": high,
         "core_factor": factor,
         "scaling_efficiency": round(eff, 3),
+        # every repeat, not just the best-of pair: the per-repeat
+        # efficiencies + CPU calibration are the noise evidence
+        "repeats": [
+            {
+                "low_pps": round(lo["pages_per_sec"], 1),
+                "high_pps": round(hi["pages_per_sec"], 1),
+                "eff": round(hi["pages_per_sec"] / (factor * lo["pages_per_sec"]), 3),
+                "low_cal_mops": lo["cal_mops"],
+                "high_cal_mops": hi["cal_mops"],
+            }
+            for lo, hi in zip(lows, highs)
+        ],
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
