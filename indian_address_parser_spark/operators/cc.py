@@ -6,12 +6,14 @@ north rule names). Converges in O(log n) rounds; components here are
 households (tiny diameter) so 2-4 rounds in practice.
 
 Scale notes:
-- Node ids stay STRINGS and are compared lexicographically — the algorithm
-  only needs a total order, and this keeps cluster ids equal to
-  ``min(mention_id)`` per component: deterministic across runs, partition
-  layouts and parallelism levels, and directly comparable to a SQL oracle.
-  (A 64-bit-hash id space would shave shuffle bytes at 10^12 scale at the
-  cost of a collision audit; the switch is local to this module.)
+- The star loop runs over ``xxhash64`` longs (8-byte shuffle keys instead
+  of ~50-byte urls); final labels are re-derived as ``min(mention_id)``
+  per component — deterministic across runs, partition layouts and
+  parallelism levels, and directly comparable to a SQL oracle. A runtime
+  collision audit (one agg over the node dimension, see
+  :func:`connected_components`) falls back to string keys when the hash
+  space collides — at 10^12 mentions n²/2⁶⁴ ≈ 50 expected collisions, so
+  "won't happen" is not an argument there.
 - Every iteration ends in ``localCheckpoint`` to truncate lineage —
   Catalyst does not optimize across iterations and an unchecked loop
   re-executes the whole prefix each round (SURVEY.md §4.2.3). On a real
@@ -24,6 +26,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _hash_id(col):
+    """Loop-key hash for node ids. A module-level seam so tests can force
+    collisions (monkeypatch) and prove the runtime audit catches them."""
+    return F.xxhash64(col)
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -145,7 +153,9 @@ def connected_components(
     checkpoint_dir: str | None = None,
     stars: str = "auto",
     giant_degree_threshold: int = 1_000_000,
+    on_hash_collision: str = "fallback",
     _strategy_log: list | None = None,
+    _explain_log: list | None = None,
 ) -> DataFrame:
     """edges(src, dst) → assignments(mention_id, cluster_id).
 
@@ -156,9 +166,15 @@ def connected_components(
     The star loop runs on ``xxhash64`` longs, not the (long) string ids —
     the iterated shuffles move 8-byte keys instead of ~50-byte urls. The
     final labels are re-derived as min(string id) per component, so output
-    is identical to a string-keyed run; a hash collision (≈ n²/2⁶⁴) could
-    only ever merge two clusters, never split one, and is checked for by
-    the unit tests' brute-force comparison at test scale.
+    is identical to a string-keyed run. A hash collision (≈ n²/2⁶⁴ pairs;
+    ~50 expected at 10¹² mentions) could only ever merge two clusters,
+    never split one — still a wrong answer, so the hash space is AUDITED
+    at runtime: one agg over the (already needed, checkpointed) node
+    dimension compares ``count(mention_id)`` to ``count(distinct hid)``.
+    On mismatch, ``on_hash_collision`` picks the reaction: ``"fallback"``
+    (default) reruns the loop on the raw string keys — correct at ~6×
+    shuffle bytes — and ``"error"`` raises so a pipeline owner can pick a
+    wider key (e.g. concat of two seeded hashes) instead.
 
     ``stars`` picks the per-round physical strategy: ``"window"`` (2
     exchanges/round, assumes bounded component sizes), ``"join"``
@@ -174,7 +190,9 @@ def connected_components(
     identical edge sets after each round — see :func:`_star_round_window`.
 
     ``_strategy_log`` (tests/debugging): a list that receives the strategy
-    chosen each round.
+    chosen each round. ``_explain_log``: a list that receives the label
+    step's full query-execution text BEFORE checkpoint truncation, so
+    tests can assert the physical shape (no Window node).
 
     Thread-safety: the star loop relaxes the session-wide AQE coalesce
     floor (``spark.sql.adaptive.coalescePartitions.minPartitionNum``) for
@@ -204,12 +222,32 @@ def connected_components(
             F.col(src).cast("string").alias("su"), F.col(dst).cast("string").alias("sv")
         )
     )
-    nodes = (
+    distinct_nodes = (
         str_edges.select(F.col("su").alias("mention_id"))
         .union(str_edges.select(F.col("sv").alias("mention_id")))
         .distinct()
-        .withColumn("hid", F.xxhash64("mention_id"))
     )
+    # Checkpoint the node dimension: the collision audit below and the
+    # final label join both consume it — one distinct pass, not two.
+    nodes = _truncate(distinct_nodes.withColumn("hid", _hash_id(F.col("mention_id"))))
+
+    # Runtime hash-collision audit (docstring): materializes the node
+    # checkpoint as a side effect, so its only net cost is the agg itself.
+    audit = nodes.agg(
+        F.count("*").alias("n"), F.countDistinct("hid").alias("d")
+    ).collect()[0]
+    hash_keys = int(audit["n"]) == int(audit["d"])
+    if not hash_keys:
+        if on_hash_collision == "error":
+            raise RuntimeError(
+                f"xxhash64 collision in CC node ids: {audit['n']} ids -> "
+                f"{audit['d']} hashes; rerun with on_hash_collision='fallback' "
+                "or widen the loop key"
+            )
+        # String keys: lexicographic order is a total order too, and the
+        # converged root IS min(mention_id), so the label step below works
+        # unchanged (hid == mention_id == root namespace).
+        nodes = _truncate(distinct_nodes.withColumn("hid", F.col("mention_id")))
 
     # The star iterations shuffle a small, shrinking edge list (8-byte
     # pairs). The session pins AQE's coalesce floor at the core count, which
@@ -226,9 +264,13 @@ def connected_components(
     old_floor = spark.conf.get(floor_key, None)
     spark.conf.set(floor_key, str(max(2, spark.sparkContext.defaultParallelism // 4)))
     try:
-        cur = _truncate(
-            _canonical(str_edges.select(F.xxhash64("su").alias("u"), F.xxhash64("sv").alias("v")))
-        )
+        if hash_keys:
+            keyed = str_edges.select(
+                _hash_id(F.col("su")).alias("u"), _hash_id(F.col("sv")).alias("v")
+            )
+        else:
+            keyed = str_edges.select(F.col("su").alias("u"), F.col("sv").alias("v"))
+        cur = _truncate(_canonical(keyed))
         # one job: materializes the checkpoint + aggs (count, xor, max degree)
         n, h, max_deg = _fingerprint(cur)
         prev_fp = (n, h)
@@ -252,21 +294,26 @@ def connected_components(
                 break
             prev_fp = fp
 
-        # Converged star graph: every edge is (node-hash → root-hash). Map back
-        # to string ids and label each component by its minimum string id —
-        # a single window min over root (ONE shuffle; the groupBy+join
-        # formulation shuffled the same rows twice). Components are
-        # households (tiny), so the per-root window partitions cannot skew.
-        from pyspark.sql import Window
-
+        # Converged star graph: every edge is (node-key → root-key). Map
+        # back to string ids and label each component by its minimum string
+        # id. This is a groupBy partial-agg + join back, NOT a
+        # min-over-root window: the window form funnels every member of a
+        # component into ONE partition — exactly the giant components the
+        # stars="join" path exists to survive (window partitions are not
+        # AQE-skew-splittable). The agg combines map-side, shrinking to one
+        # row per component before its exchange, and the label join on
+        # ``root`` is hint-free so AQE can broadcast the label dimension or
+        # split a skewed component.
         members = cur.select(F.col("u").alias("hid"), F.col("v").alias("root"))
         roots = cur.select(F.col("v").alias("hid")).distinct().withColumn("root", F.col("hid"))
         assignments_h = members.union(roots).distinct()
-        named = assignments_h.join(nodes, "hid").select("mention_id", "root")
-        out = named.select(
-            "mention_id",
-            F.min("mention_id").over(Window.partitionBy("root")).alias("cluster_id"),
-        )
+        # checkpointed: consumed twice (label agg + final join) — without
+        # this the hid→mention_id join would execute twice
+        named = _truncate(assignments_h.join(nodes, "hid").select("mention_id", "root"))
+        labels = named.groupBy("root").agg(F.min("mention_id").alias("cluster_id"))
+        out = named.join(labels, "root").select("mention_id", "cluster_id")
+        if _explain_log is not None:
+            _explain_log.append(out._jdf.queryExecution().toString())
         # Checkpoint the result: the caller's first action otherwise
         # re-plans the full label chain inside one job — measured ~10×
         # slower than consuming the truncated plan.

@@ -168,6 +168,8 @@ def run_pipeline(
     resume: bool = True,
     iceberg_prefix: str | None = None,
     cc_stars: str = "auto",
+    cc_giant_degree_threshold: int = 1_000_000,
+    _cc_strategy_log: list | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns stage row counts, timings
     and (if labeled_pairs given) pairwise P/R/F1. ``iceberg_prefix`` opts
@@ -214,7 +216,12 @@ def run_pipeline(
         "clusters",
         lambda: attach_clusters(
             mentions.select("mention_id", "url", "normalized"),
-            connected_components(edges, stars=cc_stars),
+            connected_components(
+                edges,
+                stars=cc_stars,
+                giant_degree_threshold=cc_giant_degree_threshold,
+                _strategy_log=_cc_strategy_log,
+            ),
         ),
     )
 

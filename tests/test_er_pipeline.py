@@ -255,6 +255,113 @@ class TestConnectedComponents:
         got = {r["mention_id"]: r["cluster_id"] for r in out.collect()}
         assert got == {"a": "a", "b": "a", "c": "c"}
 
+    def test_label_step_plan_has_no_window(self, spark):
+        """The final labeling must be partial-agg + join, never a
+        min-over-root window — window partitions are not skew-splittable,
+        so a giant component would serialize onto one task exactly when
+        the join-star guard fires (VERDICT r3 #1)."""
+        edges = [(f"n{(i * 13) % 60}", f"n{(i * 29 + 7) % 60}") for i in range(45)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        plan_log: list = []
+        connected_components(df, _explain_log=plan_log).collect()
+        assert plan_log, "explain hook did not fire"
+        assert "Window" not in plan_log[0], plan_log[0]
+        assert "Aggregate" in plan_log[0]
+
+
+def _bruteforce_clusters(edges):
+    """Union-find reference labeling: {node: min(component)}."""
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[str, list[str]] = {}
+    for node in parent:
+        groups.setdefault(find(node), []).append(node)
+    return {m: min(members) for members in groups.values() for m in members}
+
+
+class TestHashCollisionGuard:
+    """The CC loop runs on xxhash64 keys; at 10^12 nodes n²/2⁶⁴ collisions
+    become real merges. The runtime audit must detect a collided key space
+    and either fall back to string keys (correct output) or raise."""
+
+    EDGES = [(f"n{(i * 13) % 60}", f"n{(i * 29 + 7) % 60}") for i in range(45)]
+
+    def test_forced_collision_fallback_matches_bruteforce(self, spark, monkeypatch):
+        from indian_address_parser_spark.operators import cc as cc_mod
+
+        # collapse the key space to ≤4 values: guaranteed collisions, and
+        # any loop run on these keys would merge unrelated components
+        monkeypatch.setattr(cc_mod, "_hash_id", lambda col: F.xxhash64(col) % 4)
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        got = {
+            r["mention_id"]: r["cluster_id"]
+            for r in cc_mod.connected_components(df).collect()
+        }
+        assert got == _bruteforce_clusters(self.EDGES)
+
+    def test_forced_collision_error_mode_raises(self, spark, monkeypatch):
+        from indian_address_parser_spark.operators import cc as cc_mod
+
+        monkeypatch.setattr(cc_mod, "_hash_id", lambda col: F.lit(7).cast("long"))
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        with pytest.raises(RuntimeError, match="collision"):
+            cc_mod.connected_components(df, on_hash_collision="error")
+
+    def test_clean_hash_space_stays_on_hash_path(self, spark, monkeypatch):
+        """No collision → the (cheap) hash path must be used, not the
+        fallback: instrument _hash_id and count invocations."""
+        from indian_address_parser_spark.operators import cc as cc_mod
+
+        calls = []
+        real = cc_mod._hash_id
+        monkeypatch.setattr(
+            cc_mod, "_hash_id", lambda col: calls.append(1) or real(col)
+        )
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        got = {
+            r["mention_id"]: r["cluster_id"]
+            for r in cc_mod.connected_components(df).collect()
+        }
+        assert got == _bruteforce_clusters(self.EDGES)
+        # nodes build (1) + initial edge keying (2) = 3 calls; the string
+        # fallback would have rebuilt nodes WITHOUT calling _hash_id again
+        assert len(calls) == 3, calls
+
+
+class TestMegaComponentEndToEnd:
+    def test_full_pipeline_survives_giant_cluster(self, spark, tmp_path):
+        """VERDICT r3 #1 'done' gate: a mega-component runs through the
+        COMPLETE pipeline — extract → block → score → CC *including the
+        label step* — with the auto guard on the join-star path."""
+        addr = "H.NO 12, GALI NO 4, LAJPAT NAGAR, NEW DELHI 110024"
+        pages = spark.createDataFrame(
+            [(f"https://mega.example.org/p/{i:04d}", addr) for i in range(120)],
+            ["url", "text"],
+        )
+        log: list = []
+        run_pipeline(
+            spark,
+            pages,
+            str(tmp_path / "mega"),
+            cc_giant_degree_threshold=10,
+            _cc_strategy_log=log,
+        )
+        assert log and all(s == "join" for s in log), log
+        clusters = spark.read.parquet(str(tmp_path / "mega" / "clusters"))
+        sizes = clusters.groupBy("cluster_id").count().collect()
+        assert len(sizes) == 1 and sizes[0]["count"] == 120, sizes
+
 
 class TestEmptyBatches:
     def test_extract_zero_mention_partitions(self, spark):
