@@ -128,4 +128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from indian_address_parser_spark.queries import oracle_sqls
 
-    return oracle_sqls()
+    # The learned-IVF oracle embeds centroids TRAINED FROM the tables at
+    # sf_dir, so it must point at the same sf the gate runs queries() at.
+    # The gate's documented sf is 0.01; if it ever runs elsewhere, set
+    # SPARK_GRAFT_ORACLE_SF_DIR to match (every other oracle is
+    # sf-independent SQL text).
+    return oracle_sqls(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )

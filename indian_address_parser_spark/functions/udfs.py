@@ -162,3 +162,28 @@ def digit_signature_udf(text: pd.Series) -> pd.Series:
     from indian_address_parser_spark.core.fuzzy import digit_signature
 
     return text.map(lambda s: digit_signature(s) if s is not None else None)
+
+
+def make_topcells_udf(bc_centroids, nprobe: int):
+    """Factory: (v: array<double>) → the ``nprobe`` best IVF cells ordered
+    by (dot DESC, cell ASC). ``bc_centroids`` is a Spark broadcast of the
+    cells×dim float64 centroid matrix — the kernel is one batch×dim @
+    dim×cells matmul + stable argsort, so cell count never enters the
+    plan (vs a posexplode×cells form) and the matrix ships once per
+    executor, not per task closure."""
+    npb = int(nprobe)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _topcells(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        D = V @ bc_centroids.value.T
+        # stable sort on -dot: equal dots keep ascending cell order —
+        # byte-identical tie-break to the SQL oracle's (dot DESC, cell ASC)
+        idx = np.argsort(-D, axis=1, kind="stable")[:, :npb]
+        return pd.Series(list(idx.tolist()))
+
+    return _topcells

@@ -284,6 +284,55 @@ def test_ivf_kmeans_trainer_deterministic_and_unit():
         assert abs(n - 1.0) < 1e-3  # unit up to the 6dp literal rounding
 
 
+def test_ivf_assignment_is_narrow_and_matches_explode_form(spark):
+    """VERDICT r3 #2: cell assignment must be ONE narrow Arrow pass over
+    broadcast centroids — no Exchange between the scan and the kernel
+    (the old posexplode×cells + per-vec window pushed O(n·cells) rows
+    through a shuffle). Also cross-check the kernel's (dot DESC, cell
+    ASC) ranking against an explicit per-row Spark-SQL explode replay."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from indian_address_parser_spark.queries import (
+        _emb_double,
+        ivf_assign_cells,
+        ivf_nprobe_for,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(SF_DIR)
+    nprobe = ivf_nprobe_for(len(cents))
+    e = _emb_double(spark, SF_DIR)
+    assigned = ivf_assign_cells(spark, e, cents, nprobe)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+    # explode-form replay (the oracle's literal-SQL mirror) on the same data
+    def dot_to(c):
+        arr = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    dots = e.select(
+        "vec_id", F.posexplode(F.array(*[dot_to(c) for c in cents])).alias("cell", "dot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cell"))
+    want = {
+        (r["vec_id"], r["crk"]): r["cell"]
+        for r in dots.withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") <= nprobe)
+        .collect()
+    }
+    got = {
+        (r["vec_id"], i + 1): c
+        for r in assigned.collect()
+        for i, c in enumerate(r["cells"])
+    }
+    assert got == want
+
+
 def test_ivf_kmeans_recall_vs_exact(spark):
     """Learned-IVF top-3 vs the exact brute-force top-3.
 
