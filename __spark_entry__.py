@@ -10,13 +10,14 @@ every SQL-expressible one carries a DuckDB oracle (validated locally by
 ``scripts/check_oracle.py`` — 38/38 hash-match at sf0.001 and sf0.01,
 including two end-to-end pipeline projections whose oracles replay the
 synthetic generator's ground-truth model rather than the algorithms
-(er_pipeline_cluster_sizes, er_extract_mention_counts) and the learned
+(er_pipeline_cluster_sizes, er_extract_mention_counts), the learned
 k-means IVF whose oracle embeds the same trained centroid literals the
-Spark plan uses). Rows-only
-entries (genuinely non-SQL row-level semantics): the full synthetic-pages
-pipeline with soundex blocking, the reference's complete rules-extraction
-path (stateful refinement + fuzzy gazetteer, which DuckDB cannot
-reproduce), and the numpy BERT-CRF tagger (transformer forward + Viterbi).
+Spark plan uses, and the numpy BERT-CRF tagger whose oracle replays the
+identical deterministic seeded model driver-side into a parquet DuckDB
+reads back). Rows-only entries (genuinely non-SQL row-level semantics):
+the full synthetic-pages pipeline with soundex blocking, and the
+reference's complete rules-extraction path (stateful refinement + fuzzy
+gazetteer, which DuckDB cannot reproduce).
 """
 
 from __future__ import annotations
@@ -59,51 +60,68 @@ def _er_extract_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _er_bertcrf_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the numpy BERT-CRF tagger (E3-E5 — WordPiece tokenize,
-    transformer emissions, CRF Viterbi, BIO decode) over derived addresses,
-    with a deterministic seeded checkpoint (reference weights are not
-    shipped). Deterministic output: per-doc entity count + label sequence."""
+_BERTCRF_VOCAB = [
+    "H", "NO", "HOUSE", "GALI", "LANE", "BLOCK", "SECTOR", "NEW",
+    "DELHI", "NAGAR", "COLONY", "PARK", "ENCLAVE", ",", ".", "-",
+] + [str(n) for n in range(100)]
+_BERTCRF_SEED = 7
+
+
+def _bertcrf_ckpt_path() -> str:
+    """Checkpoint dir keyed by content (vocab+seed): changing either can
+    never silently reuse a stale build."""
     import hashlib
 
+    tag = hashlib.sha1(
+        ("|".join(_BERTCRF_VOCAB) + f"#seed={_BERTCRF_SEED}").encode()
+    ).hexdigest()[:12]
+    return f"/tmp/spark_graft_bertcrf_ckpt_{tag}"
+
+
+def _ensure_bertcrf_ckpt() -> str:
+    """Materialize the deterministic seeded checkpoint if absent.
+
+    Built in a temp dir + atomic rename so concurrent workers never read a
+    half-written npz; rename onto an existing dir fails → the race loser
+    just uses the winner's copy."""
+    import shutil
+
+    from indian_address_parser_spark.operators.bert_crf_np import (
+        make_random_checkpoint,
+    )
+
+    ckpt = _bertcrf_ckpt_path()
+    if not os.path.exists(os.path.join(ckpt, "config.json")):
+        tmp = f"{ckpt}.tmp.{os.getpid()}"
+        make_random_checkpoint(tmp, _BERTCRF_VOCAB, seed=_BERTCRF_SEED)
+        try:
+            os.rename(tmp, ckpt)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ckpt
+
+
+def _er_bertcrf_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy BERT-CRF tagger (E3-E5 — WordPiece tokenize, transformer
+    emissions, CRF Viterbi, BIO decode) over derived addresses, with a
+    deterministic seeded checkpoint (reference weights are not shipped).
+    Oracled: the seeded model is bit-deterministic, so the oracle replays
+    the identical model driver-side (see _oracle_er_bertcrf_tag) — this
+    gate checks the distributed plumbing (mapInPandas batching, per-worker
+    checkpoint build, schema) against a straight in-process run."""
     import pyspark.sql.functions as F
 
     from indian_address_parser_spark.operators.tagger import tag_texts
     from indian_address_parser_spark.queries import q_er_synth_addr
 
-    vocab = [
-        "H", "NO", "HOUSE", "GALI", "LANE", "BLOCK", "SECTOR", "NEW",
-        "DELHI", "NAGAR", "COLONY", "PARK", "ENCLAVE", ",", ".", "-",
-    ] + [str(n) for n in range(100)]
-    seed = 7
-    # dir name keyed by checkpoint content (vocab+seed): changing either
-    # can never silently reuse a stale build
-    tag = hashlib.sha1(("|".join(vocab) + f"#seed={seed}").encode()).hexdigest()[:12]
-    ckpt = f"/tmp/spark_graft_bertcrf_ckpt_{tag}"
-
     def _factory():
         # built lazily INSIDE the worker process: the seeded build is
-        # deterministic, so every executor (local or remote) materializes an
-        # identical checkpoint — no driver-local path shipped across machines.
-        # Built in a temp dir + atomic rename so concurrent workers never
-        # read a half-written npz; rename onto an existing dir fails → the
-        # race loser just uses the winner's copy.
-        import os as _os
-        import shutil as _shutil
-
-        from indian_address_parser_spark.operators.bert_crf_np import (
-            make_random_checkpoint,
-        )
+        # deterministic, so every executor (local or remote) materializes
+        # an identical checkpoint — no driver-local path shipped across
+        # machines.
         from indian_address_parser_spark.operators.tagger import BertCrfTagger
 
-        if not _os.path.exists(_os.path.join(ckpt, "config.json")):
-            tmp = f"{ckpt}.tmp.{_os.getpid()}"
-            make_random_checkpoint(tmp, vocab, seed=seed)
-            try:
-                _os.rename(tmp, ckpt)
-            except OSError:
-                _shutil.rmtree(tmp, ignore_errors=True)
-        return BertCrfTagger(ckpt)
+        return BertCrfTagger(_ensure_bertcrf_ckpt())
 
     # doc_id filter, not limit(): limit takes arbitrary rows across partitions
     addrs = q_er_synth_addr(spark, sf_dir).where(F.col("doc_id") < 200)
@@ -113,6 +131,59 @@ def _er_bertcrf_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("entities").alias("n_entities"),
         F.concat_ws("|", F.transform("entities", lambda e: e["label"])).alias("labels"),
     )
+
+
+def _oracle_er_bertcrf_tag(sf_dir: str) -> str:
+    """DuckDB-runnable oracle for the BERT-CRF entry: replay the SAME
+    deterministic pipeline driver-side — derived addresses via the shared
+    addr_sql (DuckDB computes them from documents.parquet exactly as the
+    er_synth_addr oracle does), then preprocess → seeded numpy model →
+    Viterbi → refine, sequentially in this process — and park the expected
+    rows in a content-addressed parquet the oracle SQL reads back. Any
+    regression in the distributed path (batch handling, worker checkpoint
+    build, label mapping, schema) shifts the driver's value hash."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indian_address_parser_spark.core import refine
+    from indian_address_parser_spark.core.parse import preprocess
+    from indian_address_parser_spark.operators.tagger import BertCrfTagger
+    from indian_address_parser_spark.queries import addr_sql
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {addr_sql()} AS addr "
+            f"FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE doc_id < 200 ORDER BY doc_id"
+        ).fetchall()
+    ]
+    digest = hashlib.sha1(
+        ("\x01".join(texts) + "#" + os.path.basename(_bertcrf_ckpt_path())).encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark_graft_bertcrf_oracle_{digest}.parquet"
+    if not os.path.exists(path):
+        tagger = BertCrfTagger(_ensure_bertcrf_ckpt())
+        normalized = [preprocess(t) for t in texts]
+        span_lists = tagger.tag_batch(normalized)
+        span_lists = [refine.refine(n, s) for n, s in zip(normalized, span_lists)]
+        table = pa.table(
+            {
+                "text": pa.array(texts, pa.string()),
+                "n_entities": pa.array([len(s) for s in span_lists], pa.int32()),
+                "labels": pa.array(
+                    ["|".join(sp.label for sp in s) for s in span_lists], pa.string()
+                ),
+            }
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return f"SELECT text, n_entities, labels FROM read_parquet('{path}')"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -128,11 +199,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from indian_address_parser_spark.queries import oracle_sqls
 
-    # The learned-IVF oracle embeds centroids TRAINED FROM the tables at
-    # sf_dir, so it must point at the same sf the gate runs queries() at.
-    # The gate's documented sf is 0.01; if it ever runs elsewhere, set
-    # SPARK_GRAFT_ORACLE_SF_DIR to match (every other oracle is
-    # sf-independent SQL text).
-    return oracle_sqls(
-        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    )
+    # The learned-IVF and BERT-CRF oracles embed data derived FROM the
+    # tables at sf_dir, so it must point at the same sf the gate runs
+    # queries() at. The gate's documented sf is 0.01; if it ever runs
+    # elsewhere, set SPARK_GRAFT_ORACLE_SF_DIR to match (every other
+    # oracle is sf-independent SQL text).
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    sqls = oracle_sqls(sf_dir)
+    try:
+        # deterministic-model replay oracle; if the documents table is
+        # unreadable, degrade THIS entry to rows-only
+        sqls["er_bertcrf_tag"] = _oracle_er_bertcrf_tag(sf_dir)
+    except Exception:
+        pass
+    return sqls

@@ -17,11 +17,11 @@ class TestEntry:
         q = entrymod.queries()
         o = entrymod.oracle_sql()
         assert set(o) <= set(q)
-        # rows-only entries are the documented non-SQL ops
+        # rows-only entries are the documented non-SQL ops (er_bertcrf_tag
+        # graduated to a deterministic-model replay oracle in r4)
         assert set(q) - set(o) == {
             "er_pipeline_full",
             "er_extract_mentions",
-            "er_bertcrf_tag",
             # production xxhash64 MinHash twin: xxhash64 is Spark-internal,
             # equivalence with the oracled md5 variant is property-tested
             "dedup_minhash128_xxhash_band_pairs",
