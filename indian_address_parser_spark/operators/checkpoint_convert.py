@@ -274,19 +274,43 @@ _LAYER_MAP = {
     "output.LayerNorm.bias": ("ln2.beta", False),
 }
 
-# present in HF checkpoints but not needed for token-classification inference
+# present in HF checkpoints but not needed for token-classification inference:
+# the pooler head, non-parameter position-id buffers, and the whole MLM
+# head under ``cls.`` — including ``cls.predictions.decoder.*``, which in
+# tied-embedding exports is a byte-alias of the word-embedding matrix
 _IGNORED = re.compile(
     r"^(bert\.pooler\.|bert\.embeddings\.position_ids$|cls\.)"
 )
 
 _LAYER_RE = re.compile(r"^bert\.encoder\.layer\.(\d+)\.(.+)$")
 
+# pre-2019 HF exports (and some TF conversions) name LayerNorm parameters
+# ``gamma``/``beta`` instead of ``weight``/``bias``
+_HF_ALIASES = (
+    (re.compile(r"\.LayerNorm\.gamma$"), ".LayerNorm.weight"),
+    (re.compile(r"\.LayerNorm\.beta$"), ".LayerNorm.bias"),
+)
+
+
+def _canon_name(name: str) -> str:
+    for pat, repl in _HF_ALIASES:
+        name = pat.sub(repl, name)
+    return name
+
 
 def map_state_dict(sd: dict) -> "OrderedDict[str, np.ndarray]":
-    """HF/torch state_dict names → the npz weight layout (with transposes)."""
+    """HF/torch state_dict names → the npz weight layout (with transposes).
+
+    Raises with an explicit key list on BOTH failure directions: extra
+    keys the map does not know (a different architecture — converting
+    them silently would drop weights) and missing keys the npz model
+    needs (a truncated or differently-structured export — loading would
+    otherwise fail later with a bare KeyError deep in the encoder).
+    """
     out: "OrderedDict[str, np.ndarray]" = OrderedDict()
     unmapped: list[str] = []
-    for name, arr in sd.items():
+    for raw_name, arr in sd.items():
+        name = _canon_name(raw_name)
         if _IGNORED.match(name):
             continue
         if name in _FIXED_MAP:
@@ -300,9 +324,23 @@ def map_state_dict(sd: dict) -> "OrderedDict[str, np.ndarray]":
                 np.ascontiguousarray(arr.T) if transpose else arr
             )
             continue
-        unmapped.append(name)
+        unmapped.append(raw_name)
     if unmapped:
-        raise ValueError(f"unmapped state_dict keys: {unmapped[:8]}")
+        raise ValueError(
+            f"{len(unmapped)} unmapped state_dict keys "
+            f"(first 8): {unmapped[:8]}"
+        )
+    expected = {k for k, _ in _FIXED_MAP.values()}
+    for k in out:
+        m = re.match(r"^layer(\d+)\.", k)
+        if m:
+            expected |= {f"layer{m.group(1)}.{sub}" for sub, _ in _LAYER_MAP.values()}
+    missing = sorted(expected - set(out))
+    if missing:
+        raise ValueError(
+            f"{len(missing)} required weights absent from the state_dict "
+            f"(first 8, npz names): {missing[:8]}"
+        )
     return out
 
 
@@ -389,6 +427,31 @@ def convert_checkpoint(
     if "crf.transitions" not in weights:
         raise ValueError("checkpoint has no CRF parameters (use_crf=False?)")
 
+    # The npz runtime decodes label ids through the FIXED core.schemas
+    # BIO_LABELS order. A checkpoint trained with a reordered or custom
+    # label set of the same size would pass every shape check and then
+    # silently emit wrong entity labels — so when the source config
+    # declares its mapping, it must match exactly.
+    id2label = ref_cfg.get("id2label")
+    if id2label:
+        from indian_address_parser_spark.core.schemas import BIO_LABELS
+
+        declared = [
+            id2label.get(str(i), id2label.get(i)) for i in range(num_labels)
+        ]
+        want = list(BIO_LABELS[:num_labels])
+        if len(id2label) != num_labels or declared != want:
+            diffs = [
+                f"{i}: checkpoint={d!r} runtime={w!r}"
+                for i, (d, w) in enumerate(zip(declared, want))
+                if d != w
+            ]
+            raise ValueError(
+                "checkpoint id2label does not match the runtime BIO_LABELS "
+                f"order ({len(id2label)} declared vs {num_labels} labels); "
+                f"mismatches (first 8): {diffs[:8]}"
+            )
+
     os.makedirs(dst_dir, exist_ok=True)
     np.savez(os.path.join(dst_dir, "weights.npz"), **weights)
     with open(os.path.join(dst_dir, "vocab.txt"), "w", encoding="utf-8") as f:
@@ -405,6 +468,9 @@ def convert_checkpoint(
         "lowercase": lowercase,
         "converted_from": "torch_state_dict",
     }
+    if id2label:
+        # carry the (validated) mapping through for traceability
+        config["id2label"] = {str(i): id2label.get(str(i), id2label.get(i)) for i in range(num_labels)}
     with open(os.path.join(dst_dir, "config.json"), "w") as f:
         json.dump(config, f, indent=2)
     return dst_dir

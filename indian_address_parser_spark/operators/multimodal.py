@@ -2,10 +2,11 @@
 
 Web-crawl tables carry binary columns (here: ``pages.html``; the same shape
 covers image/audio/video payloads). The Spark-side plumbing — schema,
-partition sizing, Arrow batch shape, UDF signatures — is real and tested;
-the actual media decoding is stubbed (image/audio libraries are not in this
-container) behind ``DECODERS`` so a real decoder drops in per modality
-without touching the plan.
+partition sizing, Arrow batch shape, UDF signatures — is real and tested.
+PNG decoding is REAL (pure-stdlib: zlib inflate + scanline unfilter, see
+:func:`decode_png`); JPEG/GIF/audio decoding is stubbed (those codecs need
+libjpeg/libsndfile — not in this container) behind ``DECODERS`` so a real
+decoder drops in per modality without touching the plan.
 
 Design for 100 TB: binary columns dominate bytes, so every operator here
 (a) prunes to exactly (key, binary) before the UDF, (b) uses
@@ -54,11 +55,101 @@ def _sniff(payload: bytes) -> tuple[str, str]:
     return ("binary", "unknown")
 
 
-def _decode_image_stub(payload: bytes, fmt: str) -> dict:
-    """STUB: real impl would decode + resize via PIL/opencv (absent here).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
-    Returns deterministic fake features with the real output schema so the
+
+def decode_png(payload: bytes) -> dict:
+    """REAL pure-stdlib PNG decode: chunk walk → zlib inflate → per-scanline
+    unfilter (None/Sub/Up/Average/Paeth). Returns width/height/channels and
+    the raw ``pixels`` bytes (row-major, 8-bit samples).
+
+    Scope: 8-bit depth, non-interlaced, color types 0/2/4/6 — the shapes a
+    crawler's thumbnail pipeline produces; palette/16-bit/Adam7 raise
+    NotImplementedError and surface as ``decode_error`` rows. The unfilter
+    loop is per-byte Python — fine for metadata extraction on mixed crawl
+    data; a production image pipeline would swap a PIL/opencv decoder into
+    ``DECODERS`` (same signature) without touching the Spark plan.
+    """
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("no IHDR chunk")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} (only 8-bit supported)")
+    if interlace:
+        raise NotImplementedError("Adam7 interlacing")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise NotImplementedError(f"color type {color} (palette unsupported)")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"pixel data is {len(raw)} bytes, expected {(stride + 1) * h}"
+        )
+    out = bytearray()
+    prev = bytearray(stride)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    p = 0
+    for _y in range(h):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += stride + 1
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad scanline filter {f}")
+        out += line
+        prev = line
+    return {"width": w, "height": h, "channels": channels, "pixels": bytes(out)}
+
+
+def _decode_image(payload: bytes, fmt: str) -> dict:
+    """PNG decodes for real (:func:`decode_png`); JPEG/GIF remain STUBS
+    (their entropy coders need libjpeg/PIL — absent here) returning
+    deterministic fake features with the real output schema so the
     downstream plan (schema, batching, partitioning) is exercised."""
+    if fmt == "png":
+        d = decode_png(payload)
+        return {"width": d["width"], "height": d["height"], "channels": d["channels"]}
     import zlib
 
     h = zlib.crc32(payload)  # deterministic across processes (unlike hash())
@@ -69,7 +160,7 @@ def _decode_audio_stub(payload: bytes, fmt: str) -> dict:
     raise NotImplementedError("audio decode requires libsndfile — not in this container")
 
 
-DECODERS = {"image": _decode_image_stub, "audio": _decode_audio_stub}
+DECODERS = {"image": _decode_image, "audio": _decode_audio_stub}
 
 
 def binary_metadata(df: DataFrame, key: str = "url", binary_col: str = "html") -> DataFrame:
@@ -140,6 +231,8 @@ def decode_features(df: DataFrame, key: str = "url", binary_col: str = "html") -
                         feat = decoder(payload, fmt)
                     except NotImplementedError as e:
                         err = str(e)
+                    except Exception as e:  # corrupt payload: keep the row
+                        err = f"{type(e).__name__}: {e}"
                 cols["width"].append(feat.get("width"))
                 cols["height"].append(feat.get("height"))
                 cols["channels"].append(feat.get("channels"))

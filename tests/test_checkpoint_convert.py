@@ -224,3 +224,95 @@ def test_convert_rejects_vocab_mismatch(hf_dir, tmp_path):
         f.write("extraword\n")
     with pytest.raises(ValueError, match="vocab.txt"):
         convert_checkpoint(broken, str(tmp_path / "out"))
+
+
+@pytest.fixture()
+def hf_quirk_dir(hf_dir, tmp_path):
+    """Same weights re-exported with real-world HF naming quirks: gamma/beta
+    LayerNorm aliases (pre-2019 / TF-converted exports), a tied MLM decoder
+    aliasing the word-embedding matrix, its bias, and a position_ids buffer."""
+    import shutil
+
+    src = str(tmp_path / "hf_quirks")
+    shutil.copytree(hf_dir, src)
+    sd = read_torch_state_dict(os.path.join(hf_dir, "pytorch_model.bin"))
+    quirked = {}
+    for name, arr in sd.items():
+        name = name.replace(".LayerNorm.weight", ".LayerNorm.gamma").replace(
+            ".LayerNorm.bias", ".LayerNorm.beta"
+        )
+        quirked[name] = arr
+    emb = sd["bert.embeddings.word_embeddings.weight"]
+    quirked["cls.predictions.decoder.weight"] = emb  # tied embeddings
+    quirked["cls.predictions.bias"] = np.zeros(emb.shape[0])
+    quirked["bert.embeddings.position_ids"] = np.arange(
+        sd["bert.embeddings.position_embeddings.weight"].shape[0], dtype=np.int64
+    )
+    write_torch_state_dict(os.path.join(src, "pytorch_model.bin"), quirked)
+    return src
+
+
+def test_convert_handles_hf_quirk_names(direct_model, hf_quirk_dir, tmp_path):
+    """gamma/beta aliases + tied decoder + buffers convert to a model that
+    decodes bit-identically to the directly-built one."""
+    model_a, _ = direct_model
+    dst = str(tmp_path / "converted_quirks")
+    convert_checkpoint(hf_quirk_dir, dst)
+    model_b = BertCrfModel.from_pretrained(dst)
+    preds_a, _, _ = model_a.decode_texts(TEXTS)
+    preds_b, _, _ = model_b.decode_texts(TEXTS)
+    assert preds_a == preds_b
+
+
+def test_map_state_dict_reports_missing_keys(hf_dir):
+    sd = read_torch_state_dict(os.path.join(hf_dir, "pytorch_model.bin"))
+    del sd["crf.start_transitions"]
+    del sd["bert.encoder.layer.0.intermediate.dense.bias"]
+    with pytest.raises(ValueError, match=r"absent.*crf\.start"):
+        map_state_dict(sd)
+
+
+def test_map_state_dict_reports_unmapped_keys(hf_dir):
+    sd = read_torch_state_dict(os.path.join(hf_dir, "pytorch_model.bin"))
+    sd["bert.encoder.layer.0.adapter.down.weight"] = np.zeros((4, 4))
+    with pytest.raises(ValueError, match="unmapped.*adapter"):
+        map_state_dict(sd)
+
+
+def _set_id2label(src_dir: str, labels: list[str]) -> None:
+    cfg_path = os.path.join(src_dir, "config.json")
+    cfg = json.load(open(cfg_path))
+    cfg["id2label"] = {str(i): lab for i, lab in enumerate(labels)}
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+
+def test_convert_rejects_reordered_id2label(hf_dir, tmp_path):
+    """Same-size but reordered label set must fail loudly — the npz runtime
+    decodes through the fixed BIO_LABELS order, so accepting it would emit
+    silently wrong entity labels (ADVICE r3)."""
+    import shutil
+
+    from indian_address_parser_spark.core.schemas import BIO_LABELS
+
+    src = str(tmp_path / "reordered")
+    shutil.copytree(hf_dir, src)
+    n = json.load(open(os.path.join(src, "config.json")))["num_labels"]
+    _set_id2label(src, list(reversed(BIO_LABELS[:n])))
+    with pytest.raises(ValueError, match="id2label"):
+        convert_checkpoint(src, str(tmp_path / "out_reordered"))
+
+
+def test_convert_accepts_and_persists_matching_id2label(hf_dir, tmp_path):
+    import shutil
+
+    from indian_address_parser_spark.core.schemas import BIO_LABELS
+
+    src = str(tmp_path / "labeled")
+    shutil.copytree(hf_dir, src)
+    n = json.load(open(os.path.join(src, "config.json")))["num_labels"]
+    _set_id2label(src, list(BIO_LABELS[:n]))
+    dst = str(tmp_path / "out_labeled")
+    convert_checkpoint(src, dst)
+    out_cfg = json.load(open(os.path.join(dst, "config.json")))
+    assert out_cfg["id2label"] == {str(i): BIO_LABELS[i] for i in range(n)}

@@ -39,9 +39,11 @@ class TestMultimodal:
         # html has no decoder registered → decode_error set, row kept
         assert all(r["decode_error"] is not None for r in rows)
 
-    def test_decode_features_image_stub(self, spark):
+    def test_decode_features_jpeg_stub(self, spark):
+        """JPEG stays a documented stub (no libjpeg in the container):
+        deterministic fake features, no decode_error."""
         df = spark.createDataFrame(
-            [("u1", bytearray(b"\x89PNG\r\n" + b"x" * 100))], ["url", "html"]
+            [("u1", bytearray(b"\xff\xd8\xff\xe0" + b"x" * 100))], ["url", "html"]
         )
         row = decode_features(df).collect()[0]
         assert row["modality"] == "image"
@@ -55,6 +57,124 @@ class TestMultimodal:
         frames = sample_frames(df, every_n=10).collect()
         assert len(frames) == 4  # 40 stub frames sampled every 10
         assert [f["frame_idx"] for f in frames] == [0, 10, 20, 30]
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(rows: list[bytes], channels: int, filters: list[int] | None = None) -> bytes:
+    """Encode a REAL PNG (8-bit, non-interlaced) applying the given
+    per-scanline filter types — the exact inverse of decode_png's unfilter,
+    implemented independently here so the test is not self-confirming."""
+    import struct
+    import zlib
+
+    h = len(rows)
+    w = len(rows[0]) // channels
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    filters = filters or [0] * h
+    bpp = channels
+    prev = bytes(w * channels)
+    raw = b""
+    for y, row in enumerate(rows):
+        f = filters[y]
+        line = list(row)
+        enc = list(line)
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = bytes(row)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+class TestPngDecode:
+    def test_decode_png_all_filters_roundtrip(self):
+        """4×5 grayscale exercising every scanline filter (0..4): unfiltered
+        pixels must equal the originals byte-for-byte."""
+        from indian_address_parser_spark.operators.multimodal import decode_png
+
+        rows = [bytes([(x * 37 + y * 91) & 0xFF for x in range(4)]) for y in range(5)]
+        png = _make_png(rows, channels=1, filters=[0, 1, 2, 3, 4])
+        d = decode_png(png)
+        assert (d["width"], d["height"], d["channels"]) == (4, 5, 1)
+        assert d["pixels"] == b"".join(rows)
+
+    def test_decode_png_rgb_and_rgba(self):
+        from indian_address_parser_spark.operators.multimodal import decode_png
+
+        rgb = [bytes(range(y, y + 6)) for y in range(2)]  # 2×2 RGB
+        d = decode_png(_make_png(rgb, channels=3, filters=[4, 4]))
+        assert (d["width"], d["height"], d["channels"]) == (2, 2, 3)
+        assert d["pixels"] == b"".join(rgb)
+        rgba = [bytes(range(y, y + 8)) for y in range(3)]  # 2×3 RGBA
+        d = decode_png(_make_png(rgba, channels=4, filters=[1, 2, 3]))
+        assert (d["width"], d["height"], d["channels"]) == (2, 3, 4)
+        assert d["pixels"] == b"".join(rgba)
+
+    def test_real_png_through_mapinpandas(self, spark):
+        """The r3 'done' gate: a real 2×2 PNG payload decodes through the
+        decode_features mapInPandas path to true width/height/channels."""
+        png = _make_png([bytes(range(6)), bytes(range(10, 16))], channels=3)
+        df = spark.createDataFrame([("u1", bytearray(png))], ["url", "html"])
+        row = decode_features(df).collect()[0]
+        assert row["modality"] == "image"
+        assert row["decode_error"] is None
+        assert (row["width"], row["height"], row["channels"]) == (2, 2, 3)
+
+    def test_corrupt_png_kept_with_error(self, spark):
+        df = spark.createDataFrame(
+            [("bad", bytearray(b"\x89PNG\r\n" + b"x" * 64))], ["url", "html"]
+        )
+        row = decode_features(df).collect()[0]
+        assert row["modality"] == "image"
+        assert row["decode_error"] and "ValueError" in row["decode_error"]
+        assert row["width"] is None
+
+    def test_unsupported_png_shapes_raise_not_implemented(self):
+        import struct
+
+        import pytest as _pytest
+
+        from indian_address_parser_spark.operators.multimodal import decode_png
+
+        def header(depth, color, interlace=0):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+            return b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+
+        with _pytest.raises(NotImplementedError, match="bit depth"):
+            decode_png(header(16, 0))
+        with _pytest.raises(NotImplementedError, match="palette"):
+            decode_png(header(8, 3))
+        with _pytest.raises(NotImplementedError, match="Adam7"):
+            decode_png(header(8, 0, interlace=1))
 
 
 class TestStreaming:
