@@ -6,9 +6,11 @@ normalization pandas UDF → field extraction → blocking → candidate self-jo
 sf0.001 documents.
 
 ``queries``/``oracle_sql``: one entry per operator family from SURVEY.md §2;
-every SQL-expressible one carries a DuckDB oracle (validated locally by
-``scripts/check_oracle.py`` — 38/38 hash-match at sf0.001 and sf0.01,
-including two end-to-end pipeline projections whose oracles replay the
+every SQL-expressible one carries a DuckDB oracle, validated locally by
+``scripts/check_oracle.py`` at sf0.001 and sf0.01 (the current counts are
+GENERATED into BENCH/BASELINE.md §6 by ``scripts/sync_claims.py`` from the
+newest driver artifact, never hand-stated here). The set includes two
+end-to-end pipeline projections whose oracles replay the
 synthetic generator's ground-truth model rather than the algorithms
 (er_pipeline_cluster_sizes, er_extract_mention_counts), the learned
 k-means IVF whose oracle embeds the same trained centroid literals the
