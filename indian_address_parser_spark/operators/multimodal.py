@@ -156,11 +156,54 @@ def _decode_image(payload: bytes, fmt: str) -> dict:
     return {"width": 64 + h % 1024, "height": 64 + (h >> 10) % 1024, "channels": 3}
 
 
-def _decode_audio_stub(payload: bytes, fmt: str) -> dict:
-    raise NotImplementedError("audio decode requires libsndfile — not in this container")
+def decode_wav(payload: bytes) -> dict:
+    """REAL pure-stdlib WAV header decode: RIFF chunk walk → fmt + data.
+
+    Returns channels / sample_rate / n_samples / duration_ms for PCM
+    (format 1) and IEEE-float (format 3) payloads; compressed codecs
+    (MP3-in-WAV, ADPCM, …) raise NotImplementedError and surface as
+    ``decode_error`` rows."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt_chunk = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_chunk = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_size = length
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _rate, block_align, bits = fmt_chunk
+    if audio_format not in (1, 3):  # PCM / IEEE float
+        raise NotImplementedError(f"WAV audio format {audio_format} (compressed)")
+    if not (channels and block_align and bits in (8, 16, 24, 32, 64)):
+        raise ValueError("malformed fmt chunk")
+    n_samples = data_size // block_align
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "duration_ms": round(1000.0 * n_samples / sample_rate, 3) if sample_rate else None,
+    }
 
 
-DECODERS = {"image": _decode_image, "audio": _decode_audio_stub}
+def _decode_audio(payload: bytes, fmt: str) -> dict:
+    """WAV decodes for real (:func:`decode_wav`); MP3 remains a STUB (its
+    entropy coder needs libmad/libsndfile — absent here)."""
+    if fmt == "wav":
+        return decode_wav(payload)
+    raise NotImplementedError("mp3 decode requires libsndfile — not in this container")
+
+
+DECODERS = {"image": _decode_image, "audio": _decode_audio}
 
 
 def binary_metadata(df: DataFrame, key: str = "url", binary_col: str = "html") -> DataFrame:
@@ -198,8 +241,17 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
         T.StructField("decode_error", T.StringType()),
     ]
+)
+
+# feature columns filled from the decoder dict (everything except the
+# key/modality/error bookkeeping columns)
+_FEATURE_COLS = tuple(
+    f.name for f in FEATURE_SCHEMA.fields if f.name not in ("url", "modality", "decode_error")
 )
 
 
@@ -233,9 +285,8 @@ def decode_features(df: DataFrame, key: str = "url", binary_col: str = "html") -
                         err = str(e)
                     except Exception as e:  # corrupt payload: keep the row
                         err = f"{type(e).__name__}: {e}"
-                cols["width"].append(feat.get("width"))
-                cols["height"].append(feat.get("height"))
-                cols["channels"].append(feat.get("channels"))
+                for name in _FEATURE_COLS:
+                    cols[name].append(feat.get(name))
                 cols["decode_error"].append(err)
             yield pd.DataFrame(cols, columns=[f.name for f in FEATURE_SCHEMA.fields])
 

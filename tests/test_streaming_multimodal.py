@@ -158,6 +158,56 @@ class TestPngDecode:
         assert row["decode_error"] and "ValueError" in row["decode_error"]
         assert row["width"] is None
 
+    def test_wav_header_decode_roundtrip(self):
+        """Stdlib wave-module-written PCM file decodes to exact params."""
+        import io
+        import wave
+
+        from indian_address_parser_spark.operators.multimodal import decode_wav
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(b"\x00\x01" * 2 * 441)  # 441 stereo frames
+        d = decode_wav(buf.getvalue())
+        assert d == {
+            "channels": 2,
+            "sample_rate": 44100,
+            "n_samples": 441,
+            "duration_ms": 10.0,
+        }
+
+    def test_wav_through_mapinpandas_and_compressed_error(self, spark):
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x01" * 80)
+        good = buf.getvalue()
+        # ADPCM (format 2): header-valid but compressed → decode_error
+        fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)
+        bad = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+        df = spark.createDataFrame(
+            [("good", bytearray(good)), ("bad", bytearray(bad))], ["url", "html"]
+        )
+        rows = {r["url"]: r for r in decode_features(df).collect()}
+        g = rows["good"]
+        assert g["modality"] == "audio" and g["decode_error"] is None
+        assert (g["channels"], g["sample_rate"], g["n_samples"]) == (1, 8000, 80)
+        assert g["duration_ms"] == 10.0
+        assert rows["bad"]["decode_error"] and "format 2" in rows["bad"]["decode_error"]
+
     def test_unsupported_png_shapes_raise_not_implemented(self):
         import struct
 
