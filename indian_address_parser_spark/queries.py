@@ -1315,6 +1315,60 @@ def q_window_top_order_per_cust(spark, sf_dir):
     )
 
 
+def q_join_regional_revenue(spark, sf_dir, region: str = "ASIA"):
+    """TPC-H Q5 shape: revenue per nation inside one region — the 6-table
+    join-reordering/broadcast benchmark. Scale shape: ``region`` and
+    ``nation`` are O(10²) rows at ANY data scale → explicit broadcast
+    (their filters then prune customer/supplier before the fact joins);
+    the fact-side joins (orders⋈lineitem⋈supplier) stay shuffle joins
+    that AQE can re-plan. Declared-only join order — Catalyst/CBO picks
+    the physical order, which is the point of the exercise."""
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == region)
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_agg_events_windowed(spark, sf_dir):
+    """Tumbling event-time windows in BATCH over the events table — the
+    batch analog of the streaming windowed counts (streaming/stream.py):
+    1-hour epoch-aligned buckets per event_type, one partial-aggregated
+    hash agg (window start is a row-local expression, no Python)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
@@ -1731,6 +1785,25 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               FROM orders
             ) WHERE rk = 1
         """,
+        "join_regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM region
+            JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "agg_events_windowed": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
     }
     try:
         # the only data-trained oracle: reads the embeddings parquet at
@@ -1786,4 +1859,6 @@ SPARK_QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_mktsegment_orders": q_join_mktsegment_orders,
     "window_top_order_per_cust": q_window_top_order_per_cust,
+    "join_regional_revenue": q_join_regional_revenue,
+    "agg_events_windowed": q_agg_events_windowed,
 }
