@@ -1315,6 +1315,87 @@ def q_window_top_order_per_cust(spark, sf_dir):
     )
 
 
+def q_dedup_canonical_keep(spark, sf_dir):
+    """Near-dup CANONICALIZATION — the op a training-data pipeline actually
+    ships: LSH candidate pairs (128-perm MinHash bands) → large/small-star
+    connected components → keep ONE representative (lexicographic-min doc
+    id) per duplicate cluster, emitting a full (doc_id, keep_id, is_kept)
+    decision table over the corpus. Composes the oracled band-pair
+    generator with the oracled CC operator, so the whole decision chain is
+    hash-gated; at crawl scale every piece is the bucketed/skew-safe shape
+    (no all-pairs, partial-agg labeling, collision-audited keys)."""
+    from indian_address_parser_spark.operators.cc import connected_components
+
+    pairs = q_dedup_minhash128_band_pairs(spark, sf_dir)
+    assign = connected_components(pairs, src="id_a", dst="id_b")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").cast("string").alias("mention_id")
+    )
+    return (
+        docs.join(assign, "mention_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("mention_id")).alias("keep_id"),
+        )
+        .withColumn("is_kept", F.col("keep_id") == F.col("doc_id").cast("string"))
+    )
+
+
+def _oracle_dedup_canonical_keep() -> str:
+    """Transitive closure over the (tiny) near-dup pair set via a recursive
+    CTE, component label = lexicographic min — the same semantics as the
+    star-CC operator, computed a completely different way."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_oracle_minhash128_band_pairs()}),
+    edges AS (
+      SELECT cast(id_a AS varchar) AS a, cast(id_b AS varchar) AS b FROM pairs
+      UNION SELECT cast(id_b AS varchar), cast(id_a AS varchar) FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS node, least(a, min(b)) AS keep FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(c.keep, cast(d.doc_id AS varchar)) AS keep_id,
+           coalesce(c.keep, cast(d.doc_id AS varchar)) = cast(d.doc_id AS varchar) AS is_kept
+    FROM documents d LEFT JOIN comp c ON cast(d.doc_id AS varchar) = c.node
+    """
+
+
+def q_train_stratified_sample(spark, sf_dir, k: int = 50):
+    """Exact-k deterministic stratified sample per language stratum.
+
+    Ordering key is a salted md5 of doc_id (uniform, reproducible,
+    partition-independent). Scale shape: a single
+    ``row_number().over(partitionBy(lang))`` would funnel an entire
+    language's documents — billions of rows at crawl scale — into one
+    window partition, so stage 1 pre-selects the k smallest keys within
+    every (lang, input-partition) group (tiny partitions, embarrassingly
+    parallel; the global k smallest per stratum are necessarily among
+    them), and stage 2 ranks only the ≤ k·P survivors per stratum. Final
+    output is identical for ANY partition layout."""
+    from pyspark.sql import Window
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang")
+        .withColumn(
+            "skey", F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+        )
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w1 = Window.partitionBy("lang", "pid").orderBy("skey", "doc_id")
+    pre = d.withColumn("prk", F.row_number().over(w1)).where(F.col("prk") <= k)
+    w2 = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        pre.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "lang", "rk")
+    )
+
+
 def q_join_regional_revenue(spark, sf_dir, region: str = "ASIA"):
     """TPC-H Q5 shape: revenue per nation inside one region — the 6-table
     join-reordering/broadcast benchmark. Scale shape: ``region`` and
@@ -1804,6 +1885,17 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "dedup_canonical_keep": _oracle_dedup_canonical_keep(),
+        "train_stratified_sample": """
+            SELECT doc_id, lang, rk FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('strat|' || cast(doc_id AS varchar)), doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 50
+        """,
     }
     try:
         # the only data-trained oracle: reads the embeddings parquet at
@@ -1861,4 +1953,6 @@ SPARK_QUERIES = {
     "window_top_order_per_cust": q_window_top_order_per_cust,
     "join_regional_revenue": q_join_regional_revenue,
     "agg_events_windowed": q_agg_events_windowed,
+    "dedup_canonical_keep": q_dedup_canonical_keep,
+    "train_stratified_sample": q_train_stratified_sample,
 }

@@ -32,6 +32,64 @@ class TestRegionalRevenue:
         assert "PushedFilters" in plan and "r_name" in plan
 
 
+class TestStratifiedSample:
+    def test_partition_layout_invariant(self, spark):
+        """Exact-k-per-stratum output must be IDENTICAL under any input
+        partition layout — the two-phase (per-partition pre-top-k, then
+        per-stratum rank) construction only changes the intermediate."""
+        from indian_address_parser_spark.queries import q_train_stratified_sample
+
+        base = sorted(
+            (r["doc_id"], r["lang"], r["rk"])
+            for r in q_train_stratified_sample(spark, SF_DIR).collect()
+        )
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for n_parts in (1, 7):
+            relaid = docs.repartition(n_parts)
+            # rebuild the query over the re-laid frame via the same code path
+            import indian_address_parser_spark.queries as Q
+
+            orig = Q._docs
+            try:
+                Q._docs = lambda s, d: relaid
+                got = sorted(
+                    (r["doc_id"], r["lang"], r["rk"])
+                    for r in q_train_stratified_sample(spark, SF_DIR).collect()
+                )
+            finally:
+                Q._docs = orig
+            assert got == base, f"layout {n_parts} diverged"
+
+    def test_exact_k_per_stratum(self, spark):
+        from collections import Counter
+
+        from indian_address_parser_spark.queries import q_train_stratified_sample
+
+        rows = q_train_stratified_sample(spark, SF_DIR, k=20).collect()
+        per = Counter(r["lang"] for r in rows)
+        assert all(v == 20 for v in per.values()), per
+
+
+class TestCanonicalKeep:
+    def test_decision_table_covers_corpus_and_pairs(self, spark):
+        from indian_address_parser_spark.queries import (
+            q_dedup_canonical_keep,
+            q_dedup_minhash128_band_pairs,
+        )
+
+        keep = {r["doc_id"]: r for r in q_dedup_canonical_keep(spark, SF_DIR).collect()}
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert len(keep) == n_docs  # one decision per document
+        pairs = q_dedup_minhash128_band_pairs(spark, SF_DIR).collect()
+        assert pairs
+        for p in pairs:  # both sides of a near-dup pair share one keeper
+            assert keep[p["id_a"]]["keep_id"] == keep[p["id_b"]]["keep_id"]
+        # exactly one kept representative per cluster
+        kept = {r["keep_id"] for r in keep.values() if r["is_kept"]}
+        all_clusters = {r["keep_id"] for r in keep.values()}
+        assert kept == all_clusters
+
+
 class TestEventsWindowed:
     def test_hour_alignment_and_streaming_parity(self, spark):
         """Window starts are epoch-aligned hour boundaries — identical
