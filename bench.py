@@ -34,6 +34,8 @@ BENCH_QUERIES = (
     "sim_topk_ivf_kmeans",
     "agg_pricing_summary",
     "window_top_order_per_cust",
+    "join_regional_revenue",
+    "agg_events_windowed",
 )
 
 
