@@ -208,6 +208,31 @@ class TestPngDecode:
         assert g["duration_ms"] == 10.0
         assert rows["bad"]["decode_error"] and "format 2" in rows["bad"]["decode_error"]
 
+    def test_png_property_roundtrip(self):
+        """Property: encode(pixels, any filters) → decode == pixels, for
+        arbitrary sizes, channel counts, and per-row filter choices."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from indian_address_parser_spark.operators.multimodal import decode_png
+
+        @settings(max_examples=40, deadline=None)
+        @given(data=st.data())
+        def prop(data):
+            w = data.draw(st.integers(1, 6))
+            h = data.draw(st.integers(1, 5))
+            ch = data.draw(st.sampled_from([1, 2, 3, 4]))
+            rows = [
+                bytes(data.draw(st.integers(0, 255)) for _ in range(w * ch))
+                for _ in range(h)
+            ]
+            filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+            d = decode_png(_make_png(rows, channels=ch, filters=filters))
+            assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+            assert d["pixels"] == b"".join(rows)
+
+        prop()
+
     def test_unsupported_png_shapes_raise_not_implemented(self):
         import struct
 
