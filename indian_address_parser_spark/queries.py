@@ -1364,6 +1364,38 @@ def _oracle_dedup_canonical_keep() -> str:
     """
 
 
+CORPUS_LANG_ALLOWLIST = ("en", "es")
+CORPUS_QUALITY_MIN = 0.5
+
+
+def q_corpus_select(spark, sf_dir):
+    """The FINAL gate a training-data pipeline ships: one decision row per
+    document — keep iff (canonical near-dup representative) AND (quality
+    score clears the bar) AND (language in the allowlist) — with every
+    input signal carried alongside so rejects are auditable. Composes
+    three oracled operators; the joins are all on doc_id (co-partitioned
+    after the first shuffle, AQE-planned)."""
+    quality = q_text_quality(spark, sf_dir)
+    keep = q_dedup_canonical_keep(spark, sf_dir).select("doc_id", "is_kept")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    lang_ok = F.col("lang").isin(*CORPUS_LANG_ALLOWLIST)
+    return (
+        docs.join(keep, "doc_id")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            "is_kept",
+            (
+                F.col("is_kept")
+                & (F.col("quality") >= CORPUS_QUALITY_MIN)
+                & lang_ok
+            ).alias("selected"),
+        )
+    )
+
+
 def q_train_stratified_sample(spark, sf_dir, k: int = 50):
     """Exact-k deterministic stratified sample per language stratum.
 
@@ -1886,6 +1918,22 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "dedup_canonical_keep": _oracle_dedup_canonical_keep(),
+        "corpus_select": f"""
+            WITH keepx AS ({_oracle_dedup_canonical_keep()}),
+            q AS (
+              SELECT doc_id,
+                     round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                         + (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ({stop_list})))
+                                 / cast(len(string_split(text, ' ')) AS double)) * 0.5, 6) AS quality
+              FROM documents
+            )
+            SELECT d.doc_id, d.lang, q.quality, k.is_kept,
+                   (k.is_kept AND q.quality >= {CORPUS_QUALITY_MIN}
+                    AND d.lang IN ({", ".join(f"'{lang}'" for lang in CORPUS_LANG_ALLOWLIST)})) AS selected
+            FROM documents d
+            JOIN keepx k ON d.doc_id = k.doc_id
+            JOIN q ON d.doc_id = q.doc_id
+        """,
         "train_stratified_sample": """
             SELECT doc_id, lang, rk FROM (
               SELECT doc_id, lang,
@@ -1955,4 +2003,5 @@ SPARK_QUERIES = {
     "agg_events_windowed": q_agg_events_windowed,
     "dedup_canonical_keep": q_dedup_canonical_keep,
     "train_stratified_sample": q_train_stratified_sample,
+    "corpus_select": q_corpus_select,
 }
