@@ -82,6 +82,50 @@ def main() -> None:
     finally:
         scoring_mod.FIELD_WEIGHTS = orig
 
+    # r4 contracts -------------------------------------------------------
+    sf = "/root/testdata/sf0.001"
+
+    # CC label step: partial-agg + join, never a per-root window
+    from indian_address_parser_spark.operators.cc import connected_components
+
+    label_log: list = []
+    cc_edges = spark.createDataFrame(
+        [(f"n{(i * 13) % 60}", f"n{(i * 29 + 7) % 60}") for i in range(45)],
+        ["src", "dst"],
+    )
+    connected_components(cc_edges, _explain_log=label_log).count()
+    plan = label_log[0]
+    sections.append(f"## CC label step (full queryExecution)\n\n```\n{plan}\n```\n")
+    checks.append(("CC label step", "does NOT contain 'Window'", "Window" not in plan))
+    checks.append(("CC label step", "contains 'Aggregate'", "Aggregate" in plan))
+
+    # learned-IVF assignment: one narrow Arrow pass, no exchange
+    from indian_address_parser_spark.queries import (
+        _emb_double,
+        ivf_assign_cells,
+        ivf_nprobe_for,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(sf)
+    assigned = ivf_assign_cells(spark, _emb_double(spark, sf), cents, ivf_nprobe_for(len(cents)))
+    capture(
+        "learned-IVF cell assignment (broadcast Arrow kernel)",
+        assigned,
+        must_contain=("ArrowEvalPython",),
+        must_not=("Exchange", "BatchEvalPython"),
+    )
+
+    # TPC-H Q5 shape: broadcast dims, no cartesian fallback
+    from indian_address_parser_spark.queries import q_join_regional_revenue
+
+    capture(
+        "regional revenue 6-table join (broadcast dims)",
+        q_join_regional_revenue(spark, sf),
+        must_contain=("BroadcastHashJoin",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical plans of the core operators\n\n")
