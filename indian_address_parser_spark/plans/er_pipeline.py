@@ -178,7 +178,9 @@ def run_pipeline(
     picks the connected-components round strategy ("auto" measures the max
     node degree per round and switches window→join past the giant-component
     threshold; "window" for bounded component sizes, "join" for graphs with
-    possible giant components — see operators/cc.py)."""
+    possible giant components — see operators/cc.py).
+    ``cc_giant_degree_threshold`` tunes the auto switch; ``_cc_strategy_log``
+    (tests) receives the per-round strategy choices."""
     os.makedirs(work_dir, exist_ok=True)
     fp = _input_fingerprint(pages)
     report: dict = {"input_fingerprint": fp, "stages": {}, "resumed": []}
