@@ -1461,6 +1461,17 @@ def q_join_regional_revenue(spark, sf_dir, region: str = "ASIA"):
     )
 
 
+def q_agg_pricing_rollup(spark, sf_dir):
+    """ROLLUP (grouping-sets) coverage: pricing summary with subtotal and
+    grand-total rows — one Expand + partial-agg pass in Catalyst, no extra
+    shuffles vs the flat groupBy."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
 def q_agg_events_windowed(spark, sf_dir):
     """Tumbling event-time windows in BATCH over the events table — the
     batch analog of the streaming windowed counts (streaming/stream.py):
@@ -1910,6 +1921,12 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
         """,
+        "agg_pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
         "agg_events_windowed": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
                    event_type,
@@ -2000,6 +2017,7 @@ SPARK_QUERIES = {
     "join_mktsegment_orders": q_join_mktsegment_orders,
     "window_top_order_per_cust": q_window_top_order_per_cust,
     "join_regional_revenue": q_join_regional_revenue,
+    "agg_pricing_rollup": q_agg_pricing_rollup,
     "agg_events_windowed": q_agg_events_windowed,
     "dedup_canonical_keep": q_dedup_canonical_keep,
     "train_stratified_sample": q_train_stratified_sample,
