@@ -36,6 +36,8 @@ BENCH_QUERIES = (
     "window_top_order_per_cust",
     "join_regional_revenue",
     "agg_events_windowed",
+    "join_asof_events",
+    "events_sessionize",
 )
 
 

@@ -1493,6 +1493,178 @@ def q_agg_events_windowed(spark, sf_dir):
     )
 
 
+ASOF_LEFT_TYPE = "click"
+ASOF_RIGHT_TYPE = "purchase"
+
+
+def q_join_asof_events(spark, sf_dir):
+    """AS-OF join — each '{left}' event matched to the LATEST '{right}'
+    event by the same user at-or-before it (the time-series join Spark has
+    no native operator for; reference-domain analog: attach the most
+    recent crawl snapshot to every extraction run).
+
+    Scale shape — union-and-carry: tag both sides, ONE shuffle by user_id,
+    sort by (ts, side, id), and carry the last-seen right row forward with
+    ``last(struct, ignorenulls)`` over a running frame. O(n log n) per
+    key, single pass, no range self-join (a join on ``l.ts >= r.ts`` is
+    O(n·m) per key and is the shape that melts at crawl scale), no Python.
+    Right rows are pre-deduped to one per (user_id, ts) — max event_id
+    wins — so the as-of match is well-defined under timestamp ties; the
+    matched (id, value) travel in ONE struct so they can never come from
+    different rows. Per-key cardinality is human-bounded here; for
+    adversarial hot keys (bot users) the same shape composes with a
+    time-bucket pre-pass. The DuckDB oracle uses its native ASOF LEFT
+    JOIN — a genuinely independent implementation of the semantics."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rights = (
+        e.where(F.col("event_type") == ASOF_RIGHT_TYPE)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("r_event_id"),
+            F.max_by("value", "event_id").alias("r_value"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.struct("r_event_id", "r_value").alias("r"),
+            F.lit(None).cast("long").alias("l_event_id"),
+            F.col("r_event_id").alias("ord_id"),
+        )
+    )
+    lefts = e.where(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None)
+        .cast("struct<r_event_id:bigint,r_value:double>")
+        .alias("r"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("event_id").alias("ord_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "ord_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rights.unionByName(lefts)
+        .withColumn("m", F.last("r", ignorenulls=True).over(w))
+        .where(F.col("side") == 1)
+        .select(
+            "l_event_id",
+            "user_id",
+            F.col("ts").alias("l_ts"),
+            F.col("m.r_event_id").alias("r_event_id"),
+            F.round(F.col("m.r_value"), 4).alias("r_value"),
+        )
+    )
+
+
+SESSION_GAP_US = 1_800 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based SESSIONIZATION in batch — the batch twin of
+    streaming/stream.py's stateful url-session operator: per user, a new
+    session starts after >30 min of inactivity; one row per session with
+    start, event count, exact duration, summed value.
+
+    All gap arithmetic is EXACT integer microseconds (``unix_micros`` here,
+    ``epoch_us`` in the oracle) — casting timestamps to double seconds
+    loses sub-second bits at 2024 epoch magnitudes (ULP ≈ 0.5 µs) and the
+    two engines would round differently at gap boundaries. Scale shape:
+    one shuffle by user_id, two window passes over the same sort (lag +
+    running sum — Spark plans ONE sort), then a partial-aggregated
+    groupBy; per-user row counts are human-bounded, so the window
+    partitions cannot skew the way crawl-graph components do."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        # parquet ts arrives TIMESTAMP_NTZ; the session tz is pinned UTC, so
+        # the cast is instant-preserving and unix_micros is exact int64
+        "mu",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+    )
+    w = Window.partitionBy("user_id").orderBy("mu", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = (
+        e.withColumn("prev_mu", F.lag("mu").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_mu").isNull()
+                | (F.col("mu") - F.col("prev_mu") > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_no", F.sum("is_new").over(run))
+    )
+    return numbered.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        (F.max("mu") - F.min("mu")).alias("duration_us"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the gate every serious training-data
+    pipeline runs before the corpus ships: flag any training document that
+    shares an n-gram shingle with the held-out eval set (here the
+    deterministic 1-in-20 doc_id slice stands in for the benchmark suite;
+    production uses longer n-grams, same plan shape).
+
+    Scale shape: the eval-set shingle vocabulary is DISTINCT-ed then
+    BROADCAST (eval sets are small by construction — millions of shingles
+    against a 100 TB corpus), so the semi-join is map-side with zero
+    shuffle of the corpus-side shingles; drop the hint and it degrades to
+    a plain shuffled semi-join. The per-doc verdict is then one distinct +
+    one left join on doc_id."""
+    sh = _shingles(spark, sf_dir)
+    is_eval = F.col("doc_id") % 20 == 0
+    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    contam = (
+        sh.where(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .where(~is_eval)
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("hit", F.lit(False)).alias("contaminated")
+        )
+    )
+
+
+QUANTILE_PROBS = (0.5, 0.9, 0.99)
+
+
+def q_agg_quantiles(spark, sf_dir):
+    """EXACT grouped percentiles (interpolated, type-7/``quantile_cont``
+    semantics — Spark's ``percentile`` and DuckDB's ``quantile_cont`` both
+    interpolate at rank p·(n−1), so the values hash-match). Exact
+    percentile buffers each group's values, which is the correct tool for
+    bounded group sizes; at 100 TB-scale value sets the drop-in is
+    ``approx_percentile`` (t-digest sketch, mergeable map-side) — the
+    pytest bounds its error against this exact plan."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probs = {f"p{int(p * 100)}": p for p in QUANTILE_PROBS}
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {p})"), 4).alias(name)
+            for name, p in probs.items()
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
@@ -1934,6 +2106,67 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "join_asof_events": f"""
+            WITH rights AS (
+              SELECT user_id, ts, max(event_id) AS r_event_id,
+                     max_by(value, event_id) AS r_value
+              FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}'
+              GROUP BY user_id, ts
+            ),
+            lefts AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = '{ASOF_LEFT_TYPE}'
+            )
+            SELECT l.event_id AS l_event_id, l.user_id, l.ts AS l_ts,
+                   r.r_event_id, round(r.r_value, 4) AS r_value
+            FROM lefts l ASOF LEFT JOIN rights r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_sessionize": f"""
+            WITH seq AS (
+              SELECT user_id, event_id, ts, value, epoch_us(ts) AS mu,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS prev_mu
+              FROM events
+            ),
+            numbered AS (
+              SELECT *,
+                     sum(CASE WHEN prev_mu IS NULL
+                              OR mu - prev_mu > {SESSION_GAP_US}
+                         THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY mu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sess_no
+              FROM seq
+            )
+            SELECT user_id, cast(sess_no AS bigint) AS sess_no,
+                   min(ts) AS session_start,
+                   count(*) AS n_events,
+                   max(mu) - min(mu) AS duration_us,
+                   round(sum(value), 4) AS sum_value
+            FROM numbered GROUP BY user_id, sess_no
+        """,
+        "corpus_decontaminate": f"""
+            WITH sh AS ({_oracle_shingles()}),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+            contam AS (
+              SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+              WHERE s.doc_id % 20 <> 0
+            )
+            SELECT d.doc_id,
+                   d.doc_id IN (SELECT doc_id FROM contam) AS contaminated
+            FROM documents d WHERE d.doc_id % 20 <> 0
+        """,
+        "agg_quantiles": f"""
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   {", ".join(
+                       f"round(quantile_cont(o_totalprice, {p}), 4) AS p{int(p * 100)}"
+                       for p in QUANTILE_PROBS
+                   )}
+            FROM orders GROUP BY o_orderpriority
+        """,
         "dedup_canonical_keep": _oracle_dedup_canonical_keep(),
         "corpus_select": f"""
             WITH keepx AS ({_oracle_dedup_canonical_keep()}),
@@ -2022,4 +2255,8 @@ SPARK_QUERIES = {
     "dedup_canonical_keep": q_dedup_canonical_keep,
     "train_stratified_sample": q_train_stratified_sample,
     "corpus_select": q_corpus_select,
+    "join_asof_events": q_join_asof_events,
+    "events_sessionize": q_events_sessionize,
+    "corpus_decontaminate": q_corpus_decontaminate,
+    "agg_quantiles": q_agg_quantiles,
 }

@@ -114,3 +114,262 @@ class TestEventsWindowed:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
         assert "Python" not in plan
+
+
+def _write_events(spark, tmp_path, rows):
+    """Materialize a crafted events.parquet with the driver-table schema."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+class TestAsofJoin:
+    def test_matches_brute_force(self, spark):
+        """Union-and-carry result equals a driver-side brute-force as-of
+        (latest purchase at-or-before, max event_id on ts ties)."""
+        from indian_address_parser_spark.queries import q_join_asof_events
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+        rights = {}
+        for r in events:
+            if r["event_type"] == "purchase":
+                rights.setdefault(r["user_id"], []).append(r)
+        got = {r["l_event_id"]: r for r in q_join_asof_events(spark, SF_DIR).collect()}
+        lefts = [r for r in events if r["event_type"] == "click"]
+        assert len(got) == len(lefts) and lefts
+        n_matched = 0
+        for lft in lefts:
+            cand = [
+                r for r in rights.get(lft["user_id"], []) if r["ts"] <= lft["ts"]
+            ]
+            g = got[lft["event_id"]]
+            if not cand:
+                assert g["r_event_id"] is None
+                continue
+            best = max(cand, key=lambda r: (r["ts"], r["event_id"]))
+            assert g["r_event_id"] == best["event_id"]
+            assert g["r_value"] == round(best["value"], 4)
+            n_matched += 1
+        assert n_matched  # fixture actually exercises the match path
+
+    def test_tie_semantics(self, spark, tmp_path):
+        """ts-equal right row matches (>= semantics); among equal-ts right
+        rows the max event_id wins; earlier-only rows carry forward."""
+        from datetime import datetime
+
+        from indian_address_parser_spark.queries import q_join_asof_events
+
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        t1 = datetime(2024, 1, 1, 13, 0, 0)
+        sf = _write_events(
+            spark,
+            tmp_path,
+            [
+                (1, t0, 7, "purchase", 10.0, ""),
+                (2, t0, 7, "purchase", 20.0, ""),  # same ts: id 2 must win
+                (3, t0, 7, "click", 0.0, ""),      # tie with purchases -> matched
+                (4, t1, 7, "click", 0.0, ""),      # later -> carries id 2
+                (5, t0, 8, "click", 0.0, ""),      # user with no purchase
+            ],
+        )
+        got = {r["l_event_id"]: r for r in q_join_asof_events(spark, sf).collect()}
+        assert got[3]["r_event_id"] == 2 and got[3]["r_value"] == 20.0
+        assert got[4]["r_event_id"] == 2
+        assert got[5]["r_event_id"] is None
+
+    def test_no_range_join_plan(self, spark):
+        """The whole point: NO O(n·m) range join. Sort-based single pass —
+        no cartesian/nested-loop node, no Python, and the only joins are
+        none at all (union + window)."""
+        from indian_address_parser_spark.queries import q_join_asof_events
+
+        plan = (
+            q_join_asof_events(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" not in plan, plan  # union-and-carry has zero join nodes
+        assert "Python" not in plan
+
+
+class TestSessionize:
+    def test_matches_brute_force(self, spark):
+        from datetime import timezone
+
+        from indian_address_parser_spark.queries import (
+            SESSION_GAP_US,
+            q_events_sessionize,
+        )
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+        by_user = {}
+        for r in events:
+            by_user.setdefault(r["user_id"], []).append(r)
+        expect = {}
+        for uid, rows in by_user.items():
+            rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+            sess_no, prev = 0, None
+            for r in rows:
+                # exact integer micros (float .timestamp()*1e6 can be ±1 µs)
+                mu = (
+                    int(r["ts"].replace(tzinfo=timezone.utc).timestamp())
+                    * 1_000_000
+                    + r["ts"].microsecond
+                )
+                if prev is None or mu - prev > SESSION_GAP_US:
+                    sess_no += 1
+                prev = mu
+                key = (uid, sess_no)
+                s = expect.setdefault(key, {"n": 0, "lo": mu, "hi": mu, "v": 0.0})
+                s["n"] += 1
+                s["hi"] = max(s["hi"], mu)
+                s["v"] += r["value"]
+        got = q_events_sessionize(spark, SF_DIR).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            s = expect[(r["user_id"], r["sess_no"])]
+            assert r["n_events"] == s["n"]
+            assert r["duration_us"] == s["hi"] - s["lo"]
+            assert abs(r["sum_value"] - s["v"]) < 1e-6
+
+    def test_exact_gap_boundary(self, spark, tmp_path):
+        """A gap of EXACTLY 30 min does not break the session; 30 min +
+        1 µs does — integer-microsecond arithmetic, no double rounding."""
+        from datetime import datetime, timedelta
+
+        from indian_address_parser_spark.queries import q_events_sessionize
+
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        sf = _write_events(
+            spark,
+            tmp_path,
+            [
+                (1, t0, 7, "view", 1.0, ""),
+                (2, t0 + timedelta(minutes=30), 7, "view", 1.0, ""),
+                (3, t0 + timedelta(minutes=60, microseconds=1), 7, "view", 1.0, ""),
+            ],
+        )
+        rows = sorted(
+            q_events_sessionize(spark, sf).collect(), key=lambda r: r["sess_no"]
+        )
+        assert [r["n_events"] for r in rows] == [2, 1]
+
+    def test_one_exchange_plan(self, spark):
+        """lag + running-sum share one (user_id) sort, and the final
+        groupBy(user_id, sess_no) reuses the user_id partitioning — the
+        whole operator is ONE shuffle."""
+        from indian_address_parser_spark.queries import q_events_sessionize
+
+        plan = (
+            q_events_sessionize(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+        assert "Python" not in plan
+
+
+class TestDecontaminate:
+    def test_matches_brute_force(self, spark):
+        from indian_address_parser_spark.queries import q_corpus_decontaminate
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+
+        def shingles(text):
+            w = text.split(" ")
+            return {
+                " ".join(w[i : i + 3]) for i in range(max(len(w) - 3, 0) + 1)
+            }
+
+        eval_sh = set()
+        for d in docs:
+            if d["doc_id"] % 20 == 0:
+                eval_sh |= shingles(d["text"])
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in q_corpus_decontaminate(spark, SF_DIR).collect()
+        }
+        train = [d for d in docs if d["doc_id"] % 20 != 0]
+        assert set(got) == {d["doc_id"] for d in train}
+        for d in train:
+            assert got[d["doc_id"]] == bool(shingles(d["text"]) & eval_sh)
+
+    def test_broadcast_semi_join_plan(self, spark):
+        """The eval shingle vocabulary must arrive broadcast — the corpus
+        side of the semi-join never shuffles."""
+        from indian_address_parser_spark.queries import q_corpus_decontaminate
+
+        plan = (
+            q_corpus_decontaminate(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+class TestQuantiles:
+    def test_matches_numpy_linear_interpolation(self, spark):
+        import numpy as np
+
+        from indian_address_parser_spark.queries import QUANTILE_PROBS, q_agg_quantiles
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+        by_pri = {}
+        for r in orders:
+            by_pri.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+        for row in q_agg_quantiles(spark, SF_DIR).collect():
+            vals = np.array(by_pri[row["o_orderpriority"]])
+            assert row["n_orders"] == len(vals)
+            for p in QUANTILE_PROBS:
+                expect = round(float(np.quantile(vals, p)), 4)
+                assert abs(row[f"p{int(p * 100)}"] - expect) <= 1e-4
+
+    def test_approx_percentile_within_rank_bounds(self, spark):
+        """The 100 TB drop-in (approx_percentile sketch) honors its RANK
+        guarantee: the returned element's rank is within ε·n (+1 for
+        discreteness) of the target rank, ε = 1/accuracy. Value-relative
+        bounds are the wrong metric — adjacent order statistics can differ
+        by percents in small groups."""
+        import numpy as np
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from indian_address_parser_spark.queries import QUANTILE_PROBS, q_agg_quantiles
+
+        accuracy = 1000
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        approx = {
+            r["o_orderpriority"]: r
+            for r in o.groupBy("o_orderpriority")
+            .agg(
+                *[
+                    F.expr(
+                        f"approx_percentile(o_totalprice, {p}, {accuracy})"
+                    ).alias(f"p{int(p * 100)}")
+                    for p in QUANTILE_PROBS
+                ]
+            )
+            .collect()
+        }
+        by_pri = {}
+        for r in o.collect():
+            by_pri.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+        for pri, vals in by_pri.items():
+            vals = np.sort(np.array(vals))
+            n = len(vals)
+            for p in QUANTILE_PROBS:
+                v = approx[pri][f"p{int(p * 100)}"]
+                lo = np.searchsorted(vals, v, "left")
+                hi = np.searchsorted(vals, v, "right") - 1
+                target = p * (n - 1)
+                slack = n / accuracy + 1
+                assert lo - slack <= target <= hi + slack, (pri, p, v)
