@@ -126,6 +126,46 @@ def main() -> None:
         must_not=("CartesianProduct", "BroadcastNestedLoopJoin"),
     )
 
+    # as-of join: union-and-carry — sort-based, zero join nodes, no Python
+    from indian_address_parser_spark.queries import q_join_asof_events
+
+    capture(
+        "as-of join (union-and-carry, no range join)",
+        q_join_asof_events(spark, sf),
+        must_contain=("Window",),
+        must_not=("Join", "CartesianProduct", "Python"),
+    )
+
+    # sessionization: lag + running sum + groupBy all on ONE user_id shuffle
+    from indian_address_parser_spark.queries import q_events_sessionize
+
+    sess_plan = capture(
+        "batch sessionization (single user_id shuffle)",
+        q_events_sessionize(spark, sf),
+        must_not=("Python",),
+    )
+    import re
+
+    checks.append(
+        (
+            "batch sessionization (single user_id shuffle)",
+            "exactly one Exchange node",
+            # formatted explain lists each node twice (tree + details):
+            # count distinct "(N) Exchange" node headers
+            len(set(re.findall(r"\(\d+\) Exchange", sess_plan))) == 1,
+        )
+    )
+
+    # decontamination: eval shingle vocab broadcast into a semi-join
+    from indian_address_parser_spark.queries import q_corpus_decontaminate
+
+    capture(
+        "corpus decontamination (broadcast eval-shingle semi-join)",
+        q_corpus_decontaminate(spark, sf),
+        must_contain=("BroadcastHashJoin", "LeftSemi"),
+        must_not=("CartesianProduct",),
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical plans of the core operators\n\n")
