@@ -1643,6 +1643,64 @@ def q_corpus_decontaminate(spark, sf_dir):
     )
 
 
+def q_set_ops_custkeys(spark, sf_dir):
+    """Relational SET OPERATIONS as first-class plan nodes: customers who
+    placed an order, INTERSECT those in the BUILDING segment, EXCEPT those
+    who ever placed an urgent order (standard-SQL precedence: INTERSECT
+    binds tighter, so the Spark chain mirrors `(A ∩ B) − C`). Catalyst
+    compiles intersect→left-semi + aggregate and subtract→left-anti +
+    aggregate — shuffled on the key, AQE-coalesced; no driver-side set
+    arithmetic."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return with_orders.intersect(building).subtract(urgent)
+
+
+TFIDF_TOPK = 3
+
+
+def q_text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-{k} terms per document — the classic keyword-extraction
+    pass of a text pipeline. Corpus size enters as a broadcast 1-row
+    aggregate (no driver round-trip), document frequency as one hash agg
+    over the token table; scoring rounds BEFORE ranking so both engines
+    rank identical values and ties break on the term. The per-doc top-k
+    window partitions by doc_id — bounded by document vocabulary, never
+    by corpus size."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfq = tok.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    ndocs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfq, "w")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    )
+    return scored.withColumn("rk", rk).where(F.col("rk") <= TFIDF_TOPK)
+
+
 QUANTILE_PROBS = (0.5, 0.9, 0.99)
 
 
@@ -2167,6 +2225,31 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    )}
             FROM orders GROUP BY o_orderpriority
         """,
+        "set_ops_custkeys": """
+            SELECT o_custkey AS c_custkey FROM orders
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "text_tfidf_top_terms": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+            dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.w,
+                     round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf
+              FROM tf JOIN dfq USING (w) CROSS JOIN n
+            )
+            SELECT doc_id, w, tfidf, rk FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, w ASC
+              ) AS rk FROM scored
+            ) WHERE rk <= {TFIDF_TOPK}
+        """,
         "dedup_canonical_keep": _oracle_dedup_canonical_keep(),
         "corpus_select": f"""
             WITH keepx AS ({_oracle_dedup_canonical_keep()}),
@@ -2259,4 +2342,6 @@ SPARK_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "corpus_decontaminate": q_corpus_decontaminate,
     "agg_quantiles": q_agg_quantiles,
+    "set_ops_custkeys": q_set_ops_custkeys,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
 }

@@ -317,6 +317,57 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
+class TestSetOps:
+    def test_matches_python_set_arithmetic(self, spark):
+        from indian_address_parser_spark.queries import q_set_ops_custkeys
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+        with_orders = {r["o_custkey"] for r in orders}
+        building = {r["c_custkey"] for r in cust if r["c_mktsegment"] == "BUILDING"}
+        urgent = {
+            r["o_custkey"] for r in orders if r["o_orderpriority"] == "1-URGENT"
+        }
+        expect = (with_orders & building) - urgent
+        got = {r["c_custkey"] for r in q_set_ops_custkeys(spark, SF_DIR).collect()}
+        assert got == expect and got  # non-trivial at this sf
+
+
+class TestTfidf:
+    def test_matches_brute_force(self, spark):
+        import math
+
+        from indian_address_parser_spark.queries import (
+            TFIDF_TOPK,
+            q_text_tfidf_top_terms,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        n = len(docs)
+        df = {}
+        for d in docs:
+            for w in set(d["text"].split(" ")):
+                df[w] = df.get(w, 0) + 1
+        got = {}
+        for r in q_text_tfidf_top_terms(spark, SF_DIR).collect():
+            got.setdefault(r["doc_id"], []).append((r["rk"], r["w"], r["tfidf"]))
+        assert set(got) == {d["doc_id"] for d in docs}
+        for d in docs:
+            counts = {}
+            for w in d["text"].split(" "):
+                counts[w] = counts.get(w, 0) + 1
+            scored = sorted(
+                (
+                    (-round(tf * (math.log((n + 1) / (df[w] + 1)) + 1), 6), w)
+                    for w, tf in counts.items()
+                ),
+            )[:TFIDF_TOPK]
+            expect = [
+                (i + 1, w, -neg) for i, (neg, w) in enumerate(scored)
+            ]
+            assert sorted(got[d["doc_id"]]) == expect, d["doc_id"]
+
+
 class TestQuantiles:
     def test_matches_numpy_linear_interpolation(self, spark):
         import numpy as np
