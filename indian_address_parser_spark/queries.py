@@ -1643,6 +1643,42 @@ def q_corpus_decontaminate(spark, sf_dir):
     )
 
 
+def q_agg_distinct_users(spark, sf_dir):
+    """Exact DISTINCT-COUNT per group (Catalyst's Expand + two-phase agg
+    path). Exact distinct shuffles the full (group, key) domain once; at
+    100 TB cardinalities the drop-in is ``approx_count_distinct`` (HLL++,
+    constant memory, mergeable map-side) — pytest bounds its relative
+    error against this exact plan."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SLIDE_WIN = "1 hour"
+SLIDE_STEP = "30 minutes"
+
+
+def q_agg_events_sliding(spark, sf_dir):
+    """SLIDING event-time windows in batch (1 h window, 30 min slide) —
+    every event lands in exactly window/slide = 2 overlapping buckets.
+    Spark's ``F.window`` expands rows JVM-side before one partial-agg
+    shuffle; the DuckDB oracle reconstructs the same assignment by
+    unnesting each event into its two epoch-aligned starts. The batch
+    twin of a sliding streaming aggregation — same bucketing, no state."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.window("ts", SLIDE_WIN, SLIDE_STEP).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def q_set_ops_custkeys(spark, sf_dir):
     """Relational SET OPERATIONS as first-class plan nodes: customers who
     placed an order, INTERSECT those in the BUILDING segment, EXCEPT those
@@ -2225,6 +2261,23 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    )}
             FROM orders GROUP BY o_orderpriority
         """,
+        "agg_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "agg_events_sliding": """
+            WITH assigned AS (
+              SELECT event_type,
+                     unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                             time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]
+                     ) AS win_start
+              FROM events
+            )
+            SELECT win_start, event_type, count(*) AS n_events
+            FROM assigned GROUP BY win_start, event_type
+        """,
         "set_ops_custkeys": """
             SELECT o_custkey AS c_custkey FROM orders
             INTERSECT
@@ -2344,4 +2397,6 @@ SPARK_QUERIES = {
     "agg_quantiles": q_agg_quantiles,
     "set_ops_custkeys": q_set_ops_custkeys,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "agg_distinct_users": q_agg_distinct_users,
+    "agg_events_sliding": q_agg_events_sliding,
 }

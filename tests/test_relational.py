@@ -317,6 +317,42 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
+class TestDistinctUsers:
+    def test_hll_within_relative_error(self, spark):
+        """approx_count_distinct (the 100 TB drop-in) stays within its
+        configured rsd of the oracled exact distinct counts."""
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from indian_address_parser_spark.queries import q_agg_distinct_users
+
+        exact = {
+            r["event_type"]: r["n_users"]
+            for r in q_agg_distinct_users(spark, SF_DIR).collect()
+        }
+        rsd = 0.02
+        approx = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd).alias("n"))
+            .collect()
+        )
+        for r in approx:
+            e = exact[r["event_type"]]
+            assert abs(r["n"] - e) / e <= 4 * rsd, (r["event_type"], r["n"], e)
+
+
+class TestSlidingWindows:
+    def test_every_event_in_exactly_two_windows(self, spark):
+        from indian_address_parser_spark.queries import q_agg_events_sliding
+
+        rows = q_agg_events_sliding(spark, SF_DIR).collect()
+        n_input = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        assert sum(r["n_events"] for r in rows) == 2 * n_input
+        for r in rows[:100]:  # starts on the 30-min slide grid
+            t = r["win_start"]
+            assert t.minute in (0, 30) and t.second == 0 and t.microsecond == 0
+
+
 class TestSetOps:
     def test_matches_python_set_arithmetic(self, spark):
         from indian_address_parser_spark.queries import q_set_ops_custkeys
