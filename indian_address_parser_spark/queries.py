@@ -1498,7 +1498,7 @@ ASOF_RIGHT_TYPE = "purchase"
 
 
 def q_join_asof_events(spark, sf_dir):
-    """AS-OF join — each '{left}' event matched to the LATEST '{right}'
+    """AS-OF join — each left-type event matched to the LATEST right-type
     event by the same user at-or-before it (the time-series join Spark has
     no native operator for; reference-domain analog: attach the most
     recent crawl snapshot to every extraction run).
