@@ -329,6 +329,48 @@ def q_er_pipeline_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_er_incremental_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram of the INCREMENTAL (foreachBatch) resolver
+    (streaming/incremental_er.py) over the same synthetic fixture,
+    resolved as two url-split micro-batches against a fresh state store.
+
+    Correct incremental resolution ⇔ the final partition equals the batch
+    pipeline's ⇔ the histogram equals the generator's closed-form
+    variants-per-household distribution — the SAME oracle as
+    er_pipeline_cluster_sizes, so any drift between the streaming and
+    batch semantics lands as a hash mismatch. (Cluster IDs may differ
+    from the batch run — first-rep-wins labels a cluster by the earliest
+    batch's min mention — but the partition, and hence the sizes,
+    cannot.) The tiny histogram is collected before the temp state store
+    is deleted; everything upstream is the distributed operator chain."""
+    import shutil
+    import tempfile
+
+    from indian_address_parser_spark.sources.pages import generate
+    from indian_address_parser_spark.streaming.incremental_er import process_batch
+
+    pages = generate(spark, n_households=_PIPE_HH)["pages"]
+    half = F.crc32(F.col("url")) % 2
+    base = tempfile.mkdtemp(prefix="spark_graft_incr_er_")
+    try:
+        state, asg = f"{base}/state", f"{base}/assign"
+        for i in (0, 1):
+            process_batch(pages.where(half == i), i, state, asg)
+        assigns = (
+            spark.read.parquet(asg).select("mention_id", "cluster_id").distinct()
+        )
+        rows = (
+            assigns.groupBy("cluster_id")
+            .agg(F.count("*").alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "cluster_size bigint, n_clusters bigint")
+
+
 def q_er_extract_mention_counts(spark, sf_dir):
     """Per-url mention counts from the REAL mapInPandas extractor.
 
@@ -2039,6 +2081,9 @@ def oracle_sqls(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ) GROUP BY n
         """,
         "er_pipeline_cluster_sizes": _oracle_er_pipeline_cluster_sizes(),
+        # incremental (foreachBatch) resolver must reproduce the SAME
+        # partition — identical closed-form oracle as the batch pipeline
+        "er_incremental_cluster_sizes": _oracle_er_pipeline_cluster_sizes(),
         "er_extract_mention_counts": _oracle_er_extract_mention_counts(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keeper
@@ -2357,6 +2402,7 @@ SPARK_QUERIES = {
     "er_clusters": q_er_clusters,
     "er_cluster_sizes": q_er_cluster_sizes,
     "er_pipeline_cluster_sizes": q_er_pipeline_cluster_sizes,
+    "er_incremental_cluster_sizes": q_er_incremental_cluster_sizes,
     "er_extract_mention_counts": q_er_extract_mention_counts,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
