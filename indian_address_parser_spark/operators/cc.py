@@ -10,10 +10,10 @@ Scale notes:
   of ~50-byte urls); final labels are re-derived as ``min(mention_id)``
   per component — deterministic across runs, partition layouts and
   parallelism levels, and directly comparable to a SQL oracle. A runtime
-  collision audit (one agg over the node dimension, see
-  :func:`connected_components`) falls back to string keys when the hash
-  space collides — at 10^12 mentions n²/2⁶⁴ ≈ 50 expected collisions, so
-  "won't happen" is not an argument there.
+  collision audit (one agg over the node dimension, gated on graph size —
+  see :func:`connected_components`) falls back to string keys when the
+  hash space collides — at 10^12 mentions n²/2⁶⁵ ≈ 2.7·10⁴ expected
+  collisions, so "won't happen" is not an argument at that scale.
 - Every iteration ends in ``localCheckpoint`` to truncate lineage —
   Catalyst does not optimize across iterations and an unchecked loop
   re-executes the whole prefix each round (SURVEY.md §4.2.3). On a real
@@ -154,6 +154,7 @@ def connected_components(
     stars: str = "auto",
     giant_degree_threshold: int = 1_000_000,
     on_hash_collision: str = "fallback",
+    audit_min_nodes: int = 100_000_000,
     _strategy_log: list | None = None,
     _explain_log: list | None = None,
 ) -> DataFrame:
@@ -166,15 +167,29 @@ def connected_components(
     The star loop runs on ``xxhash64`` longs, not the (long) string ids —
     the iterated shuffles move 8-byte keys instead of ~50-byte urls. The
     final labels are re-derived as min(string id) per component, so output
-    is identical to a string-keyed run. A hash collision (≈ n²/2⁶⁴ pairs;
-    ~50 expected at 10¹² mentions) could only ever merge two clusters,
-    never split one — still a wrong answer, so the hash space is AUDITED
-    at runtime: one agg over the (already needed, checkpointed) node
-    dimension compares ``count(mention_id)`` to ``count(distinct hid)``.
-    On mismatch, ``on_hash_collision`` picks the reaction: ``"fallback"``
-    (default) reruns the loop on the raw string keys — correct at ~6×
-    shuffle bytes — and ``"error"`` raises so a pipeline owner can pick a
-    wider key (e.g. concat of two seeded hashes) instead.
+    is identical to a string-keyed run. A hash collision (≈ n²/2⁶⁵ pairs;
+    ~2.7·10⁴ expected at 10¹² mentions) could only ever merge two clusters,
+    never split one — still a wrong answer at the scale where it becomes
+    likely, so past ``audit_min_nodes`` the hash space is AUDITED at
+    runtime: one agg over the (then checkpointed) node dimension compares
+    ``count(mention_id)`` to ``count(distinct hid)``. On mismatch,
+    ``on_hash_collision`` picks the reaction: ``"fallback"`` (default)
+    reruns the loop on the raw string keys — correct at ~6× shuffle
+    bytes — and ``"error"`` raises so a pipeline owner can pick a wider
+    key (e.g. concat of two seeded hashes) instead.
+
+    ``audit_min_nodes`` gates the audit on graph size (the node-count
+    upper bound 2 × edge-count, known for free from the convergence
+    fingerprint). Below the default gate of 10⁸ nodes the collision
+    probability is ≤ (10⁸)²/2⁶⁵ ≈ 2.7·10⁻⁴ — the audit would cost two
+    extra jobs (a distinct + checkpoint over every node id and a
+    count-distinct shuffle) to rule out a once-in-4000-runs event, a
+    measured −8% scaling-efficiency tax on the 8-core link stage at 4.8M
+    pages. Past the gate the same two jobs are noise next to the star
+    loop itself and the probability is no longer ignorable (expected
+    collisions reach 0.5 at n ≈ 4.3·10⁹ and ~2.7·10⁴ at 10¹²), so the
+    audit always runs. Set to 0 to force the audit on any input (the
+    collision tests do).
 
     ``stars`` picks the per-round physical strategy: ``"window"`` (2
     exchanges/round, assumes bounded component sizes), ``"join"``
@@ -189,10 +204,19 @@ def connected_components(
     a one-shot input-degree test would miss. All strategies produce
     identical edge sets after each round — see :func:`_star_round_window`.
 
+    The FINAL label step follows the same posture: while the converged
+    graph's maximum degree (≈ its maximum component size — star
+    contraction pulls every member adjacent to the root) stays below the
+    giant threshold, labels come from one min-over-root window (a single
+    exchange); at or past it — or under ``stars="join"`` — labeling
+    switches to a groupBy partial-agg + join back, which combines
+    map-side and stays AQE-skew-splittable where a window partition
+    would funnel the whole giant component onto one task.
+
     ``_strategy_log`` (tests/debugging): a list that receives the strategy
     chosen each round. ``_explain_log``: a list that receives the label
     step's full query-execution text BEFORE checkpoint truncation, so
-    tests can assert the physical shape (no Window node).
+    tests can assert the physical shape (window vs agg+join).
 
     Thread-safety: the star loop relaxes the session-wide AQE coalesce
     floor (``spark.sql.adaptive.coalescePartitions.minPartitionNum``) for
@@ -227,27 +251,11 @@ def connected_components(
         .union(str_edges.select(F.col("sv").alias("mention_id")))
         .distinct()
     )
-    # Checkpoint the node dimension: the collision audit below and the
-    # final label join both consume it — one distinct pass, not two.
-    nodes = _truncate(distinct_nodes.withColumn("hid", _hash_id(F.col("mention_id"))))
-
-    # Runtime hash-collision audit (docstring): materializes the node
-    # checkpoint as a side effect, so its only net cost is the agg itself.
-    audit = nodes.agg(
-        F.count("*").alias("n"), F.countDistinct("hid").alias("d")
-    ).collect()[0]
-    hash_keys = int(audit["n"]) == int(audit["d"])
-    if not hash_keys:
-        if on_hash_collision == "error":
-            raise RuntimeError(
-                f"xxhash64 collision in CC node ids: {audit['n']} ids -> "
-                f"{audit['d']} hashes; rerun with on_hash_collision='fallback' "
-                "or widen the loop key"
-            )
-        # String keys: lexicographic order is a total order too, and the
-        # converged root IS min(mention_id), so the label step below works
-        # unchanged (hid == mention_id == root namespace).
-        nodes = _truncate(distinct_nodes.withColumn("hid", F.col("mention_id")))
+    # Node dimension for the final label join. Stays LAZY by default — the
+    # label step consumes it exactly once, so materializing it separately
+    # is pure overhead. The gated collision audit below swaps in a
+    # checkpointed copy when it runs (it then has two consumers).
+    nodes = distinct_nodes.withColumn("hid", _hash_id(F.col("mention_id")))
 
     # The star iterations shuffle a small, shrinking edge list (8-byte
     # pairs). The session pins AQE's coalesce floor at the core count, which
@@ -264,16 +272,41 @@ def connected_components(
     old_floor = spark.conf.get(floor_key, None)
     spark.conf.set(floor_key, str(max(2, spark.sparkContext.defaultParallelism // 4)))
     try:
-        if hash_keys:
-            keyed = str_edges.select(
-                _hash_id(F.col("su")).alias("u"), _hash_id(F.col("sv")).alias("v")
-            )
-        else:
-            keyed = str_edges.select(F.col("su").alias("u"), F.col("sv").alias("v"))
+        keyed = str_edges.select(
+            _hash_id(F.col("su")).alias("u"), _hash_id(F.col("sv")).alias("v")
+        )
         cur = _truncate(_canonical(keyed))
         # one job: materializes the checkpoint + aggs (count, xor, max degree)
         n, h, max_deg = _fingerprint(cur)
         prev_fp = (n, h)
+
+        # Gated runtime hash-collision audit (docstring): node count is
+        # bounded by 2 × the canonical edge count just measured, so the
+        # gate itself costs nothing. When it fires, the node dimension is
+        # checkpointed (audit + label join = two consumers) and one agg
+        # compares id count to distinct-hash count.
+        if 2 * n >= audit_min_nodes:
+            nodes = _truncate(nodes)
+            audit = nodes.agg(
+                F.count("*").alias("n"), F.countDistinct("hid").alias("d")
+            ).collect()[0]
+            if int(audit["n"]) != int(audit["d"]):
+                if on_hash_collision == "error":
+                    raise RuntimeError(
+                        f"xxhash64 collision in CC node ids: {audit['n']} ids -> "
+                        f"{audit['d']} hashes; rerun with on_hash_collision='fallback' "
+                        "or widen the loop key"
+                    )
+                # String keys: lexicographic order is a total order too, and
+                # the converged root IS min(mention_id), so the label step
+                # below works unchanged (hid == mention_id == root
+                # namespace). Rare by construction, so the restarted
+                # fingerprint job is an acceptable tax.
+                nodes = _truncate(distinct_nodes.withColumn("hid", F.col("mention_id")))
+                keyed = str_edges.select(F.col("su").alias("u"), F.col("sv").alias("v"))
+                cur = _truncate(_canonical(keyed))
+                n, h, max_deg = _fingerprint(cur)
+                prev_fp = (n, h)
 
         def _step_join(e: DataFrame) -> DataFrame:
             return _small_star(_large_star(e))
@@ -296,22 +329,36 @@ def connected_components(
 
         # Converged star graph: every edge is (node-key → root-key). Map
         # back to string ids and label each component by its minimum string
-        # id. This is a groupBy partial-agg + join back, NOT a
-        # min-over-root window: the window form funnels every member of a
-        # component into ONE partition — exactly the giant components the
-        # stars="join" path exists to survive (window partitions are not
-        # AQE-skew-splittable). The agg combines map-side, shrinking to one
-        # row per component before its exchange, and the label join on
-        # ``root`` is hint-free so AQE can broadcast the label dimension or
-        # split a skewed component.
+        # id. The physical shape follows the loop's skew posture
+        # (docstring): bounded components → ONE min-over-root window
+        # exchange; giant-component posture → groupBy partial-agg + join
+        # back, which combines map-side (one row per component before its
+        # exchange) and leaves the join AQE-skew-splittable where a window
+        # would funnel the whole component onto a single task. max_deg of
+        # the converged graph ≈ the largest component size: every member
+        # ends adjacent to its root, so the root's symmetrized degree
+        # (measured free in the last fingerprint) bounds it.
         members = cur.select(F.col("u").alias("hid"), F.col("v").alias("root"))
         roots = cur.select(F.col("v").alias("hid")).distinct().withColumn("root", F.col("hid"))
         assignments_h = members.union(roots).distinct()
-        # checkpointed: consumed twice (label agg + final join) — without
-        # this the hid→mention_id join would execute twice
-        named = _truncate(assignments_h.join(nodes, "hid").select("mention_id", "root"))
-        labels = named.groupBy("root").agg(F.min("mention_id").alias("cluster_id"))
-        out = named.join(labels, "root").select("mention_id", "cluster_id")
+        window_label = (
+            stars == "window"
+            or (stars == "auto" and max_deg < giant_degree_threshold)
+        )
+        if window_label:
+            from pyspark.sql import Window
+
+            named = assignments_h.join(nodes, "hid").select("mention_id", "root")
+            out = named.select(
+                "mention_id",
+                F.min("mention_id").over(Window.partitionBy("root")).alias("cluster_id"),
+            )
+        else:
+            # checkpointed: consumed twice (label agg + final join) —
+            # without this the hid→mention_id join would execute twice
+            named = _truncate(assignments_h.join(nodes, "hid").select("mention_id", "root"))
+            labels = named.groupBy("root").agg(F.min("mention_id").alias("cluster_id"))
+            out = named.join(labels, "root").select("mention_id", "cluster_id")
         if _explain_log is not None:
             _explain_log.append(out._jdf.queryExecution().toString())
         # Checkpoint the result: the caller's first action otherwise

@@ -169,6 +169,7 @@ def run_pipeline(
     iceberg_prefix: str | None = None,
     cc_stars: str = "auto",
     cc_giant_degree_threshold: int = 1_000_000,
+    cc_audit_min_nodes: int = 100_000_000,
     _cc_strategy_log: list | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns stage row counts, timings
@@ -179,8 +180,10 @@ def run_pipeline(
     node degree per round and switches window→join past the giant-component
     threshold; "window" for bounded component sizes, "join" for graphs with
     possible giant components — see operators/cc.py).
-    ``cc_giant_degree_threshold`` tunes the auto switch; ``_cc_strategy_log``
-    (tests) receives the per-round strategy choices."""
+    ``cc_giant_degree_threshold`` tunes the auto switch;
+    ``cc_audit_min_nodes`` gates CC's runtime hash-collision audit on graph
+    size (see operators/cc.py — 0 forces it); ``_cc_strategy_log`` (tests)
+    receives the per-round strategy choices."""
     os.makedirs(work_dir, exist_ok=True)
     fp = _input_fingerprint(pages)
     report: dict = {"input_fingerprint": fp, "stages": {}, "resumed": []}
@@ -222,6 +225,7 @@ def run_pipeline(
                 edges,
                 stars=cc_stars,
                 giant_degree_threshold=cc_giant_degree_threshold,
+                audit_min_nodes=cc_audit_min_nodes,
                 _strategy_log=_cc_strategy_log,
             ),
         ),

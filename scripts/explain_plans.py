@@ -85,19 +85,25 @@ def main() -> None:
     # r4 contracts -------------------------------------------------------
     sf = "/root/testdata/sf0.001"
 
-    # CC label step: partial-agg + join, never a per-root window
+    # CC label step follows the loop's skew posture: partial-agg + join
+    # under the giant-component guard, single-exchange window otherwise
     from indian_address_parser_spark.operators.cc import connected_components
 
-    label_log: list = []
     cc_edges = spark.createDataFrame(
         [(f"n{(i * 13) % 60}", f"n{(i * 29 + 7) % 60}") for i in range(45)],
         ["src", "dst"],
     )
-    connected_components(cc_edges, _explain_log=label_log).count()
-    plan = label_log[0]
-    sections.append(f"## CC label step (full queryExecution)\n\n```\n{plan}\n```\n")
-    checks.append(("CC label step", "does NOT contain 'Window'", "Window" not in plan))
-    checks.append(("CC label step", "contains 'Aggregate'", "Aggregate" in plan))
+    giant_log: list = []
+    connected_components(cc_edges, giant_degree_threshold=2, _explain_log=giant_log).count()
+    plan = giant_log[0]
+    sections.append(f"## CC label step, giant posture (full queryExecution)\n\n```\n{plan}\n```\n")
+    checks.append(("CC label (giant)", "does NOT contain 'Window'", "Window" not in plan))
+    checks.append(("CC label (giant)", "contains 'Aggregate'", "Aggregate" in plan))
+    bounded_log: list = []
+    connected_components(cc_edges, _explain_log=bounded_log).count()
+    checks.append(
+        ("CC label (bounded)", "contains 'Window' (1-exchange path)", "Window" in bounded_log[0])
+    )
 
     # learned-IVF assignment: one narrow Arrow pass, no exchange
     from indian_address_parser_spark.queries import (

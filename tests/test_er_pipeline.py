@@ -255,18 +255,29 @@ class TestConnectedComponents:
         got = {r["mention_id"]: r["cluster_id"] for r in out.collect()}
         assert got == {"a": "a", "b": "a", "c": "c"}
 
-    def test_label_step_plan_has_no_window(self, spark):
-        """The final labeling must be partial-agg + join, never a
-        min-over-root window — window partitions are not skew-splittable,
+    def test_label_step_follows_skew_posture(self, spark):
+        """The final labeling must match the star loop's skew posture
+        (VERDICT r3 #1): under the giant-component posture it is
+        partial-agg + join — window partitions are not skew-splittable,
         so a giant component would serialize onto one task exactly when
-        the join-star guard fires (VERDICT r3 #1)."""
+        the join-star guard fires. With bounded components the cheap
+        single-exchange window is used instead (the r4 scaling run
+        measured always-agg+join as a −8% efficiency tax on the link
+        stage)."""
         edges = [(f"n{(i * 13) % 60}", f"n{(i * 29 + 7) % 60}") for i in range(45)]
         df = spark.createDataFrame(edges, ["src", "dst"])
-        plan_log: list = []
-        connected_components(df, _explain_log=plan_log).collect()
-        assert plan_log, "explain hook did not fire"
-        assert "Window" not in plan_log[0], plan_log[0]
-        assert "Aggregate" in plan_log[0]
+        giant_log: list = []
+        a = connected_components(
+            df, giant_degree_threshold=2, _explain_log=giant_log
+        ).collect()
+        assert giant_log, "explain hook did not fire"
+        assert "Window" not in giant_log[0], giant_log[0]
+        assert "Aggregate" in giant_log[0]
+        bounded_log: list = []
+        b = connected_components(df, _explain_log=bounded_log).collect()
+        assert "Window" in bounded_log[0], bounded_log[0]
+        # both postures label identically
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 def _bruteforce_clusters(edges):
@@ -306,7 +317,7 @@ class TestHashCollisionGuard:
         df = spark.createDataFrame(self.EDGES, ["src", "dst"])
         got = {
             r["mention_id"]: r["cluster_id"]
-            for r in cc_mod.connected_components(df).collect()
+            for r in cc_mod.connected_components(df, audit_min_nodes=0).collect()
         }
         assert got == _bruteforce_clusters(self.EDGES)
 
@@ -316,7 +327,19 @@ class TestHashCollisionGuard:
         monkeypatch.setattr(cc_mod, "_hash_id", lambda col: F.lit(7).cast("long"))
         df = spark.createDataFrame(self.EDGES, ["src", "dst"])
         with pytest.raises(RuntimeError, match="collision"):
-            cc_mod.connected_components(df, on_hash_collision="error")
+            cc_mod.connected_components(df, on_hash_collision="error", audit_min_nodes=0)
+
+    def test_audit_gated_by_node_count(self, spark, monkeypatch):
+        """Below ``audit_min_nodes`` (default 10⁸ — P(collision) ≤ 2.7e-4)
+        the audit jobs must not run at all: even a force-collided key
+        space sails through error mode, proving no audit agg executed.
+        The gate is what keeps small-graph CC at the r3 job structure."""
+        from indian_address_parser_spark.operators import cc as cc_mod
+
+        monkeypatch.setattr(cc_mod, "_hash_id", lambda col: F.xxhash64(col) % 4)
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        out = cc_mod.connected_components(df, on_hash_collision="error").collect()
+        assert out  # no RuntimeError: the audit never ran at 60 nodes
 
     def test_clean_hash_space_stays_on_hash_path(self, spark, monkeypatch):
         """No collision → the (cheap) hash path must be used, not the
@@ -331,7 +354,7 @@ class TestHashCollisionGuard:
         df = spark.createDataFrame(self.EDGES, ["src", "dst"])
         got = {
             r["mention_id"]: r["cluster_id"]
-            for r in cc_mod.connected_components(df).collect()
+            for r in cc_mod.connected_components(df, audit_min_nodes=0).collect()
         }
         assert got == _bruteforce_clusters(self.EDGES)
         # nodes build (1) + initial edge keying (2) = 3 calls; the string
