@@ -54,6 +54,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill scratch: prefer memory-backed storage (tmpfs) when the
+    # box has one. On a real cluster this is the executor-local NVMe path
+    # (spark.local.dir per node); in this sandbox the default (/tmp) is a
+    # SHARED virtual disk whose co-tenant IO-contention episodes showed up
+    # as 2× block/link stage swings in scaling runs while CPU calibration
+    # stayed flat — shuffle volume at bench scale is a few GB, far under
+    # the 126 GiB tmpfs. SPARK_GRAFT_LOCAL_DIR overrides; Spark removes
+    # its scratch subdir on normal JVM exit.
+    scratch = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if scratch is None and os.path.isdir("/dev/shm"):
+        scratch = "/dev/shm/spark_graft_scratch"
+    if scratch:
+        builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
