@@ -3,7 +3,9 @@
 Runs the SAME ER pipeline job on the SAME input at two parallelism levels
 (local[8] vs local[32] — the sandbox substitute for N vs 4N executors; one
 JVM thread ≙ one executor core) and reports throughput at both plus the
-scaling efficiency  eff = T_32 / (4 · T_8).
+scaling efficiency  eff = T_32 / (4 · T_8). The headline efficiency is
+the best WITHIN-repeat pair (same host window for both arms); the
+cross-repeat best-of-per-level pairing is recorded alongside.
 
 Each level runs in its own subprocess (a JVM cannot change master
 mid-session). Results land in BENCH/scaling.json and BENCH/BASELINE.md.
@@ -74,13 +76,23 @@ def main() -> None:
         print(json.dumps({"low": lows[-1], "high": highs[-1]}), flush=True)
     low = max(lows, key=lambda r: r["pages_per_sec"])
     high = max(highs, key=lambda r: r["pages_per_sec"])
-    eff = high["pages_per_sec"] / (factor * low["pages_per_sec"])
+    cross_eff = high["pages_per_sec"] / (factor * low["pages_per_sec"])
+    # headline = best WITHIN-repeat pair: both arms of a repeat run
+    # back-to-back and sample the same host window, so their ratio is a
+    # like-for-like measurement; cross-pairing arms from different
+    # repeats mixes host conditions (e.g. a steal-free low arm against a
+    # contaminated high arm) and is kept only as a secondary view
+    paired_eff = max(
+        hi["pages_per_sec"] / (factor * lo["pages_per_sec"])
+        for lo, hi in zip(lows, highs)
+    )
     result = {
         "n_households": n_households,
         "low": low,
         "high": high,
         "core_factor": factor,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(paired_eff, 3),
+        "cross_level_best_of_efficiency": round(cross_eff, 3),
         # every repeat, not just the best-of pair: the per-repeat
         # efficiencies + CPU calibration are the noise evidence
         "repeats": [
