@@ -23,7 +23,6 @@ BENCH_QUERIES = (
     "er_extract_fields",
     "er_pair_scores",
     "er_clusters",
-    "dedup_minhash_band_pairs",
     "dedup_minhash128_band_pairs",
     "dedup_minhash128_xxhash_band_pairs",
     "dedup_ngram_jaccard_dfcap",
@@ -141,7 +140,9 @@ def main() -> None:
     from indian_address_parser_spark.plans.session import get_spark
     from indian_address_parser_spark.queries import SPARK_QUERIES
 
-    spark = get_spark(app_name="bench")
+    # tmpfs scratch is bench-harness-only (ADVICE r4): the library default
+    # stays on spark.local.dir's disk default
+    spark = get_spark(app_name="bench", prefer_tmpfs_scratch=True)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -416,6 +416,17 @@ def convert_checkpoint(
     num_layers = len(layer_ids)
     if layer_ids != list(range(num_layers)):
         raise ValueError(f"non-contiguous encoder layers {layer_ids}")
+    # A truncated export missing entire TOP layers (e.g. 6 of 12) is still
+    # contiguous and passes map_state_dict's per-present-layer key check —
+    # only the declared depth can catch it, so when the source config
+    # states num_hidden_layers it must match exactly.
+    declared_layers = int(ref_cfg.get("num_hidden_layers") or 0)
+    if declared_layers and declared_layers != num_layers:
+        raise ValueError(
+            f"config.json declares num_hidden_layers={declared_layers} but "
+            f"the state_dict carries {num_layers} encoder layers — "
+            "truncated or mismatched export"
+        )
     heads = (
         num_heads
         or int(ref_cfg.get("num_attention_heads") or 0)

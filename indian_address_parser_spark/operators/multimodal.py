@@ -3,10 +3,13 @@
 Web-crawl tables carry binary columns (here: ``pages.html``; the same shape
 covers image/audio/video payloads). The Spark-side plumbing — schema,
 partition sizing, Arrow batch shape, UDF signatures — is real and tested.
-PNG decoding is REAL (pure-stdlib: zlib inflate + scanline unfilter, see
-:func:`decode_png`); JPEG/GIF/audio decoding is stubbed (those codecs need
-libjpeg/libsndfile — not in this container) behind ``DECODERS`` so a real
-decoder drops in per modality without touching the plan.
+PNG (zlib inflate + scanline unfilter, :func:`decode_png`), GIF (variable-
+width LZW + palette + deinterlace, :func:`decode_gif`), WAV (RIFF walk,
+:func:`decode_wav`) and MP3 metadata (ID3 skip + frame-header walk,
+:func:`decode_mp3`) decode for REAL in pure stdlib; JPEG decoding is the
+one stub left (its entropy coder + DCT genuinely need libjpeg/PIL — not in
+this container) behind ``DECODERS`` so a real decoder drops in per
+modality without touching the plan.
 
 Design for 100 TB: binary columns dominate bytes, so every operator here
 (a) prunes to exactly (key, binary) before the UDF, (b) uses
@@ -44,6 +47,9 @@ _MAGIC = (
     (b"GIF8", ("image", "gif")),
     (b"RIFF", ("audio", "wav")),
     (b"ID3", ("audio", "mp3")),
+    (b"\xff\xfb", ("audio", "mp3")),  # bare MPEG1-LIII sync (no ID3 tag)
+    (b"\xff\xf3", ("audio", "mp3")),  # MPEG2-LIII
+    (b"\xff\xf2", ("audio", "mp3")),
     (b"\x1aE\xdf\xa3", ("video", "webm")),
 )
 
@@ -57,6 +63,9 @@ def _sniff(payload: bytes) -> tuple[str, str]:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+# dimension hard cap for untrusted payloads (thumbnails/crawl images);
+# 64 MP ≙ ≤256 MiB unfiltered RGBA — bounded per Arrow batch row
+_PNG_MAX_PIXELS = 64_000_000
 
 
 def decode_png(payload: bytes) -> dict:
@@ -102,12 +111,23 @@ def decode_png(payload: bytes) -> dict:
     channels = _PNG_CHANNELS.get(color)
     if channels is None:
         raise NotImplementedError(f"color type {color} (palette unsupported)")
-    raw = zlib.decompress(bytes(idat))
+    # Untrusted-crawl guards: a forged huge IHDR or a small decompression-
+    # bomb IDAT must not OOM the executor (the per-row error handler in
+    # decode_features cannot contain memory exhaustion). Hard-cap the
+    # claimed dimensions, then inflate with the output bounded by the
+    # IHDR-derived size — one extra byte exposes an oversized stream.
+    if not w or not h:
+        raise ValueError("zero-sized IHDR")
+    if w * h > _PNG_MAX_PIXELS:
+        raise ValueError(f"IHDR claims {w}x{h} pixels (cap {_PNG_MAX_PIXELS})")
     stride = w * channels
-    if len(raw) != (stride + 1) * h:
-        raise ValueError(
-            f"pixel data is {len(raw)} bytes, expected {(stride + 1) * h}"
-        )
+    expected = (stride + 1) * h
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError("IDAT inflates past the IHDR-derived size (bomb?)")
+    if len(raw) != expected:
+        raise ValueError(f"pixel data is {len(raw)} bytes, expected {expected}")
     out = bytearray()
     prev = bytearray(stride)
     bpp = channels  # bytes per pixel at 8-bit depth
@@ -142,13 +162,180 @@ def decode_png(payload: bytes) -> dict:
     return {"width": w, "height": h, "channels": channels, "pixels": bytes(out)}
 
 
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block sequence starting at ``pos`` → (data,
+    position after the 0x00 terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated sub-block sequence")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(payload):
+            raise ValueError("truncated sub-block")
+        out += payload[pos : pos + n]
+        pos += n
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """REAL GIF LZW decode (variable-width codes, clear/EOI handling).
+
+    Pure stdlib; output bounded by ``max_pixels`` so a crafted stream
+    cannot balloon past the descriptor-claimed frame size."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+
+    def reset():
+        return (
+            {i: bytes([i]) for i in range(clear)},
+            min_code_size + 1,
+            eoi + 1,
+        )
+
+    table, width, next_code = reset()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, next_code = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code not in table:
+                    raise ValueError(f"first code {code} after clear not literal")
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            out += entry
+            if len(out) > max_pixels:
+                raise ValueError("LZW stream exceeds frame size (bomb?)")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+# 64 MP cap, same rationale as _PNG_MAX_PIXELS
+_GIF_MAX_PIXELS = 64_000_000
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL pure-stdlib GIF decode: header + logical screen descriptor →
+    block walk (extensions skipped, frames counted) → first frame LZW
+    decode → palette mapping → RGB ``pixels`` (deinterlaced if needed).
+
+    Returns width/height (of the FIRST frame), channels=3, ``n_frames``
+    across the whole stream, and the first frame's raw RGB bytes.
+    Transparency (GCE bit) is ignored — metadata extraction, not
+    compositing; a production pipeline drops PIL into ``DECODERS``."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    _sw, _sh, flags, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    global_palette = None
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        global_palette = payload[pos : pos + n]
+        pos += n
+    n_frames = 0
+    first: dict | None = None
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        _left, _top, w, h, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        palette = global_palette
+        if iflags & 0x80:
+            n = 3 * (2 << (iflags & 0x07))
+            palette = payload[pos : pos + n]
+            pos += n
+        if pos >= len(payload):
+            raise ValueError("truncated LZW header")
+        min_code_size = payload[pos]
+        pos += 1
+        data, pos = _gif_subblocks(payload, pos)
+        n_frames += 1
+        if first is not None:
+            continue  # later frames: counted, not decoded
+        if not w or not h:
+            raise ValueError("zero-sized frame")
+        if w * h > _GIF_MAX_PIXELS:
+            raise ValueError(f"frame claims {w}x{h} pixels (cap {_GIF_MAX_PIXELS})")
+        if palette is None:
+            raise ValueError("no color table for first frame")
+        if not (2 <= min_code_size <= 11):
+            raise ValueError(f"bad LZW minimum code size {min_code_size}")
+        idx = _gif_lzw_decode(data, min_code_size, w * h)
+        if len(idx) < w * h:
+            raise ValueError(f"frame has {len(idx)} pixels, expected {w * h}")
+        idx = idx[: w * h]
+        if iflags & 0x40:  # deinterlace (4-pass row shuffle)
+            rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            shuffled = [b""] * h
+            for src_row, dst_row in zip(rows, order):
+                shuffled[dst_row] = src_row
+            idx = bytearray(b"".join(shuffled))
+        n_colors = len(palette) // 3
+        pixels = bytearray(w * h * 3)
+        for i, ci in enumerate(idx):
+            if ci >= n_colors:
+                raise ValueError(f"palette index {ci} out of range")
+            pixels[3 * i : 3 * i + 3] = palette[3 * ci : 3 * ci + 3]
+        first = {"width": w, "height": h, "channels": 3, "pixels": bytes(pixels)}
+    if first is None:
+        raise ValueError("GIF contains no image frame")
+    first["n_frames"] = n_frames
+    return first
+
+
 def _decode_image(payload: bytes, fmt: str) -> dict:
-    """PNG decodes for real (:func:`decode_png`); JPEG/GIF remain STUBS
-    (their entropy coders need libjpeg/PIL — absent here) returning
-    deterministic fake features with the real output schema so the
-    downstream plan (schema, batching, partitioning) is exercised."""
+    """PNG and GIF decode for real (:func:`decode_png`, :func:`decode_gif`);
+    JPEG remains a STUB (its entropy coder + DCT need libjpeg/PIL — absent
+    here) returning deterministic fake features with the real output schema
+    so the downstream plan (schema, batching, partitioning) is exercised."""
     if fmt == "png":
         d = decode_png(payload)
+        return {"width": d["width"], "height": d["height"], "channels": d["channels"]}
+    if fmt == "gif":
+        d = decode_gif(payload)
         return {"width": d["width"], "height": d["height"], "channels": d["channels"]}
     import zlib
 
@@ -195,12 +382,112 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3 §2.4.2.3 / 13818-3).
+# bitrate kbps by [version V1|V2/2.5][layer I|II|III][index 1..14]
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+_MP3_SAMPLES = {(1, 1): 384, (1, 2): 1152, (1, 3): 1152, (2, 1): 384, (2, 2): 1152, (2, 3): 576}
+
+
+def _mp3_frame(payload: bytes, pos: int) -> tuple[int, int, int, int] | None:
+    """Parse a frame header at ``pos`` → (frame_len, sample_rate,
+    samples_per_frame, channels), or None if not a valid header."""
+    if pos + 4 > len(payload):
+        return None
+    b0, b1, b2, b3 = payload[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version_bits = (b1 >> 3) & 0x03  # 0=2.5, 2=V2, 3=V1 (1 reserved)
+    layer_bits = (b1 >> 1) & 0x03  # 3=I, 2=II, 1=III (0 reserved)
+    if version_bits == 1 or layer_bits == 0:
+        return None
+    version = 1 if version_bits == 3 else 2  # V2 and V2.5 share tables
+    layer = 4 - layer_bits
+    br_idx = (b2 >> 4) & 0x0F
+    sr_idx = (b2 >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:  # free-format/bad bitrate, bad rate
+        return None
+    bitrate = _MP3_BITRATES[(version, layer)][br_idx - 1] * 1000
+    sample_rate = _MP3_RATES[version_bits][sr_idx]
+    padding = (b2 >> 1) & 0x01
+    channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2  # mode 3 = mono
+    samples = _MP3_SAMPLES[(version, layer)]
+    if layer == 1:
+        frame_len = (12 * bitrate // sample_rate + padding) * 4
+    else:
+        frame_len = samples // 8 * bitrate // sample_rate + padding
+    if frame_len <= 4:
+        return None
+    return frame_len, sample_rate, samples, channels
+
+
+def decode_mp3(payload: bytes) -> dict:
+    """REAL pure-stdlib MP3 METADATA decode: ID3v2 skip → sync scan →
+    frame-header walk (no codec needed — frame length is header
+    arithmetic). Returns sample_rate / channels / n_samples / duration_ms
+    summed over the actual frame sequence, so VBR streams report true
+    duration, not a CBR estimate. PCM synthesis (the codec itself) is out
+    of scope — that genuinely needs libmad/libsndfile."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # syncsafe 28-bit tag size + 10-byte header
+        sz = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + sz
+    # scan for the first header that is CONFIRMED by a second valid header
+    # exactly one frame later (random 0xFF bytes otherwise false-sync)
+    start = None
+    scan_limit = min(len(payload), pos + 65536)
+    while pos < scan_limit:
+        head = _mp3_frame(payload, pos)
+        if head is not None:
+            nxt = pos + head[0]
+            if nxt >= len(payload) or _mp3_frame(payload, nxt) is not None:
+                start = pos
+                break
+        pos += 1
+    if start is None:
+        raise ValueError("no MPEG audio frame found")
+    n_samples = 0
+    sample_rate = channels = None
+    pos = start
+    while pos < len(payload):
+        head = _mp3_frame(payload, pos)
+        if head is None:
+            break  # trailing garbage / ID3v1 tag
+        frame_len, sr, samples, ch = head
+        if sample_rate is None:
+            sample_rate, channels = sr, ch
+        n_samples += samples
+        pos += frame_len
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "duration_ms": round(1000.0 * n_samples / sample_rate, 3),
+    }
+
+
 def _decode_audio(payload: bytes, fmt: str) -> dict:
-    """WAV decodes for real (:func:`decode_wav`); MP3 remains a STUB (its
-    entropy coder needs libmad/libsndfile — absent here)."""
+    """WAV header and MP3 frame-walk metadata decode for real
+    (:func:`decode_wav`, :func:`decode_mp3`); MP3 PCM synthesis is the
+    one honestly-out-of-scope piece (needs libmad/libsndfile)."""
     if fmt == "wav":
         return decode_wav(payload)
-    raise NotImplementedError("mp3 decode requires libsndfile — not in this container")
+    if fmt == "mp3":
+        return decode_mp3(payload)
+    raise NotImplementedError(f"no audio decoder for format {fmt}")
 
 
 DECODERS = {"image": _decode_image, "audio": _decode_audio}

@@ -22,6 +22,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    prefer_tmpfs_scratch: bool = False,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -54,17 +55,30 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # Shuffle/spill scratch: prefer memory-backed storage (tmpfs) when the
-    # box has one. On a real cluster this is the executor-local NVMe path
-    # (spark.local.dir per node); in this sandbox the default (/tmp) is a
-    # SHARED virtual disk whose co-tenant IO-contention episodes showed up
-    # as 2× block/link stage swings in scaling runs while CPU calibration
-    # stayed flat — shuffle volume at bench scale is a few GB, far under
-    # the 126 GiB tmpfs. SPARK_GRAFT_LOCAL_DIR overrides; Spark removes
-    # its scratch subdir on normal JVM exit.
+    # Shuffle/spill scratch. OPT-IN, not a library default (a silent
+    # /dev/shm default would fail with ENOSPC/OOM on any consumer whose
+    # shuffle outgrows the tmpfs, and spilled shuffle data competes with
+    # the executor heap for physical memory): the bench/scaling harnesses
+    # pass prefer_tmpfs_scratch=True (or set SPARK_GRAFT_TMPFS_SCRATCH=1)
+    # because this sandbox's /tmp is a SHARED virtual disk whose co-tenant
+    # IO-contention episodes showed up as 2× block/link stage swings while
+    # CPU calibration stayed flat. Even opted in, tmpfs is used only when
+    # its free space clears a floor well above bench shuffle volume. On a
+    # real cluster set spark.local.dir to executor-local NVMe instead.
+    # SPARK_GRAFT_LOCAL_DIR always wins; Spark removes its scratch subdir
+    # on normal JVM exit.
     scratch = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if scratch is None and os.path.isdir("/dev/shm"):
-        scratch = "/dev/shm/spark_graft_scratch"
+    opt_in = prefer_tmpfs_scratch or os.environ.get(
+        "SPARK_GRAFT_TMPFS_SCRATCH", ""
+    ).lower() in ("1", "true", "yes")
+    if scratch is None and opt_in and os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            free_gib = st.f_bavail * st.f_frsize / 2**30
+        except OSError:
+            free_gib = 0.0
+        if free_gib >= 32.0:  # bench-scale shuffles are a few GiB
+            scratch = "/dev/shm/spark_graft_scratch"
     if scratch:
         builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra_conf or {}).items():

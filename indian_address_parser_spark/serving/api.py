@@ -158,7 +158,10 @@ def make_handler(parser):
         # -- routes ------------------------------------------------------
         def do_GET(self):
             started = time.perf_counter()
-            path = urllib.parse.unquote(self.path)
+            # split the query string off the RAW request target first (an
+            # encoded %3F inside the address must survive), then unquote —
+            # same order as any RFC-3986 server, incl. the reference's
+            path = urllib.parse.unquote(self.path.split("?", 1)[0])
             if path in ("/", "/health"):
                 self._send(
                     200,
@@ -197,6 +200,11 @@ def make_handler(parser):
 
         def _handle_parse(self, body: dict, started: float) -> None:
             address = body.get("address")
+            # ParseRequest (schemas.py:154-168): str_strip_whitespace=True
+            # runs BEFORE the 5..500 length constraint, and the stripped
+            # value is what the handler parses
+            if isinstance(address, str):
+                address = address.strip()
             if not isinstance(address, str) or not (5 <= len(address) <= 500):
                 self._send(
                     422,
@@ -228,16 +236,24 @@ def make_handler(parser):
 
         def _handle_batch(self, body: dict, started: float) -> None:
             addresses = body.get("addresses")
-            if not isinstance(addresses, list) or not addresses:
+            # BatchParseRequest (schemas.py:171-176): pydantic validates
+            # list[str] with min_length=1, max_length=100 BEFORE the
+            # handler body runs — so >100 items and non-string items are
+            # both 422s (the handler's own "max 100 → 400" branch at
+            # api/main.py:206 is dead code behind the schema). Items are
+            # NOT whitespace-stripped (no str_strip_whitespace here).
+            if (
+                not isinstance(addresses, list)
+                or not addresses
+                or len(addresses) > 100
+                or not all(isinstance(a, str) for a in addresses)
+            ):
                 self._send(
                     422,
-                    _validation_error("addresses", "a non-empty list is required"),
+                    _validation_error(
+                        "addresses", "a list of 1..100 strings is required"
+                    ),
                     started,
-                )
-                return
-            if len(addresses) > 100:  # api/main.py:206-207: explicit 400
-                self._send(
-                    400, {"detail": "Maximum 100 addresses per batch"}, started
                 )
                 return
             confidence = bool(body.get("return_confidence", True))

@@ -22,9 +22,11 @@ in a real deployment. Per micro-batch:
 Semantics — stated, not hidden:
   * FIRST-REP-WINS: attachment happens only against representatives that
     existed before the batch; cross-batch transitive merges are not
-    performed. This is the standard incremental-ER tradeoff (a periodic
-    batch re-run reconciles); within a batch, links among unmatched
-    mentions DO merge via CC.
+    performed. This is the standard incremental-ER tradeoff; within a
+    batch, links among unmatched mentions DO merge via CC. The periodic
+    batch re-run that closes the gap is ``reconcile`` below — it reads
+    the mention store + assignments and provably restores the batch
+    pipeline's partition (proof sketch in its docstring).
   * Replays: foreachBatch may re-deliver a batch after a failure. Both
     sinks are append-only parquet keyed by ``batch_id``, and the state
     read deduplicates on ``cluster_id`` — a replay cannot fork cluster
@@ -55,6 +57,7 @@ from indian_address_parser_spark.operators.cc import (
 )
 from indian_address_parser_spark.operators.extract import extract_mentions
 from indian_address_parser_spark.operators.pairs import (
+    BLOCK_INPUT_COLS,
     PAIR_FIELDS,
     candidate_pairs,
 )
@@ -112,11 +115,23 @@ def process_batch(
     state_dir: str,
     assignments_dir: str,
     threshold: float = DEFAULT_THRESHOLD,
+    mentions_dir: str | None = None,
 ) -> None:
     """The foreachBatch body — also callable directly for batch-by-batch
-    tests and backfills."""
+    tests and backfills.
+
+    ``mentions_dir`` (optional): append the pruned blocking projection of
+    this batch's mentions (``BLOCK_INPUT_COLS`` — id, normalized text,
+    raw address fields; ~120 B/row, no page payload) so a later
+    ``reconcile`` can re-block and re-score across batches. Append-only
+    parquet; replays leave duplicate rows that reconcile's
+    dedup-on-mention_id collapses."""
     spark = batch_pages.sparkSession
     mentions = extract_mentions(batch_pages)
+    if mentions_dir is not None:
+        mentions.select(*BLOCK_INPUT_COLS).write.mode("append").parquet(
+            mentions_dir
+        )
     blocked = with_block_key(mentions)
 
     reps = _read_reps(spark, state_dir)
@@ -172,3 +187,70 @@ def run_incremental_er(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def reconcile(
+    spark: SparkSession,
+    mentions_dir: str,
+    assignments_dir: str,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Periodic batch reconcile: merge the cross-batch clusters that
+    first-rep-wins kept apart → (mention_id, cluster_id).
+
+    Reads the mention store (written by ``process_batch(...,
+    mentions_dir=)``) and the incremental assignments, re-blocks the FULL
+    mention set with the batch operator, scores ONLY the candidate pairs
+    whose endpoints sit in different incremental clusters, and runs CC
+    over (bridge edges ∪ incremental assignment edges).
+
+    Why this equals the batch pipeline's partition (when no block
+    straddles the mega-block split threshold across the batch boundary):
+
+      * every incremental edge (attach: mention↔rep scored ≥ t;
+        intra-batch: scored ≥ t) is a true edge of the batch pair graph,
+        so each incremental cluster is a connected SUBSET of a batch
+        cluster — the incremental partition refines the batch partition;
+      * assignment pairs (mention_id, cluster_id) are themselves edges of
+        the mention graph (cluster ids ARE mention ids: the cluster-min),
+        and they connect each incremental cluster internally;
+      * re-blocking the union and scoring cross-cluster pairs recovers
+        every batch edge that crosses the incremental partition (within-
+        cluster edges are redundant for connectivity);
+      * hence CC over the union graph = CC over the batch edge graph.
+
+    When a block DOES tip over ``max_block_size`` only in the union, each
+    run scopes its own recall (the documented secondary-split tradeoff);
+    reconcile keeps every merge either run found — recall ≥ batch.
+
+    Scale shape: the cross-cluster filter is two shuffled equi-joins on
+    mention_id that run BEFORE the Python Jaro-Winkler kernel, so after a
+    healthy incremental run the Arrow UDF sees only the thin cross-batch
+    boundary set, not the full pair stream. Everything else is the exact
+    batch operator chain (blocking agg+join, pruned self-join, star CC).
+    """
+    mentions = spark.read.parquet(mentions_dir).dropDuplicates(["mention_id"])
+    assigns = (
+        spark.read.parquet(assignments_dir)
+        .select("mention_id", "cluster_id")
+        .distinct()
+    )
+    pairs = candidate_pairs(with_block_key(mentions))
+    cl_a = assigns.select(
+        F.col("mention_id").alias("mention_id_a"), F.col("cluster_id").alias("_cl_a")
+    )
+    cl_b = assigns.select(
+        F.col("mention_id").alias("mention_id_b"), F.col("cluster_id").alias("_cl_b")
+    )
+    cross = (
+        pairs.join(cl_a, "mention_id_a")
+        .join(cl_b, "mention_id_b")
+        .where(F.col("_cl_a") != F.col("_cl_b"))
+        .drop("_cl_a", "_cl_b")
+    )
+    bridge = score_pairs(cross, threshold=threshold).select("src", "dst")
+    assign_edges = assigns.where(
+        F.col("mention_id") != F.col("cluster_id")
+    ).select(F.col("mention_id").alias("src"), F.col("cluster_id").alias("dst"))
+    merged = connected_components(bridge.unionByName(assign_edges))
+    return attach_clusters(assigns.select("mention_id"), merged)

@@ -39,7 +39,7 @@ cal_before = spin_mops()
 from indian_address_parser_spark.plans.session import get_spark
 import bench
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores)
+                  shuffle_partitions=cores, prefer_tmpfs_scratch=True)
 out = bench.run_er_pipeline(spark, n_households)
 out["cores"] = cores
 out["cal_mops"] = [cal_before, spin_mops()]

@@ -316,3 +316,61 @@ def test_convert_accepts_and_persists_matching_id2label(hf_dir, tmp_path):
     convert_checkpoint(src, dst)
     out_cfg = json.load(open(os.path.join(dst, "config.json")))
     assert out_cfg["id2label"] == {str(i): BIO_LABELS[i] for i in range(n)}
+
+
+def _rewrite_cfg(src: str, **updates) -> None:
+    cfg_path = os.path.join(src, "config.json")
+    cfg = json.load(open(cfg_path))
+    cfg.update(updates)
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+
+def test_convert_rejects_truncated_top_layers(hf_dir, tmp_path):
+    """Dropping ENTIRE top encoder layers keeps the remaining ids
+    contiguous and every per-present-layer key intact — only the declared
+    num_hidden_layers can catch the silently-shallower model."""
+    import re
+    import shutil
+
+    src = str(tmp_path / "truncated")
+    shutil.copytree(hf_dir, src)
+    bin_path = os.path.join(src, "pytorch_model.bin")
+    sd = read_torch_state_dict(bin_path)
+    layer_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.search(r"encoder\.layer\.(\d+)\.", k))
+        }
+    )
+    assert len(layer_ids) >= 2, "fixture must be deep enough to truncate"
+    top = layer_ids[-1]
+    sd = {k: v for k, v in sd.items() if f"encoder.layer.{top}." not in k}
+    write_torch_state_dict(bin_path, sd)
+    _rewrite_cfg(src, num_hidden_layers=len(layer_ids))
+    with pytest.raises(ValueError, match="num_hidden_layers"):
+        convert_checkpoint(src, str(tmp_path / "out_truncated"))
+
+
+def test_convert_accepts_matching_num_hidden_layers(hf_dir, tmp_path):
+    import shutil
+
+    from indian_address_parser_spark.operators.bert_crf_np import BertCrfModel
+
+    src = str(tmp_path / "declared")
+    shutil.copytree(hf_dir, src)
+    sd = read_torch_state_dict(os.path.join(src, "pytorch_model.bin"))
+    import re
+
+    n_layers = len(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.search(r"encoder\.layer\.(\d+)\.", k))
+        }
+    )
+    _rewrite_cfg(src, num_hidden_layers=n_layers)
+    dst = str(tmp_path / "out_declared")
+    convert_checkpoint(src, dst)
+    assert BertCrfModel.from_pretrained(dst).config["num_layers"] == n_layers

@@ -17,6 +17,9 @@ class TestEntry:
         q = entrymod.queries()
         o = entrymod.oracle_sql()
         assert set(o) <= set(q)
+        # the driver's correctness gate records at most 50 entries —
+        # anything past the cap silently gets NO evidence row (r4 lesson)
+        assert len(q) <= 50, f"{len(q)} queries() entries exceed the gate cap"
         # rows-only entries are the documented non-SQL ops (er_bertcrf_tag
         # graduated to a deterministic-model replay oracle in r4)
         assert set(q) - set(o) == {
@@ -41,7 +44,7 @@ class TestOracleParity:
         "er_extract_fields",
         "er_pair_scores",
         "er_clusters",
-        "dedup_minhash_band_pairs",
+        "dedup_minhash128_band_pairs",
         "sim_cosine_topk",
     ]
 

@@ -316,6 +316,39 @@ class TestDecontaminate:
         )
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
+    def test_broadcast_gate_falls_back_to_shuffled_semi_join(self, spark):
+        """Past the count gate the plan must degrade to a shuffled semi-
+        join (no force-broadcast driver-OOM cliff) with identical rows."""
+        from indian_address_parser_spark.queries import q_corpus_decontaminate
+
+        # isolate the FORCE hint from the planner's own (size-bounded, safe)
+        # broadcast choice: with auto-broadcast off, only the hint can
+        # produce a Broadcast semi-join — the gate must have removed it
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        saved = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "-1")
+
+            def semi_lines(df):
+                plan = df._jdf.queryExecution().sparkPlan().toString()
+                return [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+
+            forced = semi_lines(q_corpus_decontaminate(spark, SF_DIR))
+            assert any("Broadcast" in ln for ln in forced), forced
+            gated = q_corpus_decontaminate(
+                spark, SF_DIR, broadcast_max_shingles=0
+            )
+            fallback = semi_lines(gated)
+            assert fallback and all("Broadcast" not in ln for ln in fallback), fallback
+            got = {(r["doc_id"], r["contaminated"]) for r in gated.collect()}
+        finally:
+            spark.conf.set(key, saved)
+        want = {
+            (r["doc_id"], r["contaminated"])
+            for r in q_corpus_decontaminate(spark, SF_DIR).collect()
+        }
+        assert got == want
+
 
 class TestDistinctUsers:
     def test_hll_within_relative_error(self, spark):

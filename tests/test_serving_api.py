@@ -92,6 +92,23 @@ class TestParse:
         assert status == 422
         assert body["detail"][0]["loc"] == ["body", "address"]
 
+    def test_whitespace_stripped_before_length_check(self, server):
+        """ParseRequest's str_strip_whitespace runs before min_length=5:
+        a 5-char address padded with spaces parses; an all-space body of
+        any length is a 422."""
+        status, body, _ = _request(server, "POST", "/parse", {"address": "  110041 X  "})
+        assert status == 200
+        assert body["result"]["raw_address"] == "110041 X"
+        status, _, _ = _request(server, "POST", "/parse", {"address": " " * 40})
+        assert status == 422
+
+    def test_get_parse_drops_query_string(self, server):
+        """FastAPI's {address:path} param excludes the query string."""
+        quoted = urllib.parse.quote(ADDR)
+        status, body, _ = _request(server, "GET", f"/parse/{quoted}?debug=1")
+        assert status == 200
+        assert body["raw_address"] == ADDR
+
     def test_get_parse_returns_bare_parsed_address(self, server):
         quoted = urllib.parse.quote(ADDR)
         status, body, _ = _request(server, "GET", f"/parse/{quoted}")
@@ -116,12 +133,22 @@ class TestBatch:
         assert body["total_inference_time_ms"] >= body["avg_inference_time_ms"] > 0
         assert body["results"][1]["gali"] is not None
 
-    def test_batch_limit_400(self, server):
+    def test_batch_limit_422(self, server):
+        """Pydantic's max_length=100 on BatchParseRequest rejects with 422
+        BEFORE the reference handler's own (dead) 400 branch runs."""
         status, body, _ = _request(
             server, "POST", "/parse/batch", {"addresses": ["X Y Z 12345"] * 101}
         )
-        assert status == 400
-        assert body["detail"] == "Maximum 100 addresses per batch"
+        assert status == 422
+        assert body["detail"][0]["loc"] == ["body", "addresses"]
+
+    def test_batch_non_string_item_422(self, server):
+        """list[str] schema: a non-string element is a 422, not a 500."""
+        status, body, _ = _request(
+            server, "POST", "/parse/batch", {"addresses": [ADDR, 42]}
+        )
+        assert status == 422
+        assert body["detail"][0]["loc"] == ["body", "addresses"]
 
     def test_batch_empty_422(self, server):
         status, _, _ = _request(server, "POST", "/parse/batch", {"addresses": []})

@@ -456,3 +456,247 @@ class TestStreaming:
         assert got.count() == batch.count()
         r = got.limit(1).collect()[0]
         assert r["first_ts"] <= r["last_ts"]
+
+
+# --- GIF: independent encoder (real LZW, not the decoder inverted) ---------
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """Standard GIF LZW encoder with late code-width change — implemented
+    independently of the decoder so the roundtrip is not self-confirming."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # encoder lags the decoder's table by one entry → +1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(
+    frames: list[tuple[int, int, bytes]],
+    palette: bytes,
+    interlace_first: bool = False,
+) -> bytes:
+    """Assemble a real GIF89a: global palette + one image block per
+    (w, h, index_bytes) frame."""
+    import math
+    import struct
+
+    n_colors = len(palette) // 3
+    pal_bits = max(1, math.ceil(math.log2(n_colors)))
+    padded = palette + b"\x00" * (3 * (1 << pal_bits) - len(palette))
+    w0, h0, _ = frames[0]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w0, h0, 0x80 | (pal_bits - 1), 0, 0)
+    out += padded
+    min_code_size = max(2, pal_bits)
+    for fi, (w, h, idx) in enumerate(frames):
+        iflags = 0x40 if (interlace_first and fi == 0) else 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+        out += bytes([min_code_size])
+        data = _gif_lzw_encode(idx, min_code_size)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+_PALETTE4 = bytes(
+    [255, 0, 0, 0, 255, 0, 0, 0, 255, 40, 41, 42]
+)  # red green blue gray
+
+
+def _rgb(idx: bytes, palette: bytes = _PALETTE4) -> bytes:
+    return b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+
+
+class TestGifDecode:
+    def test_gif_lzw_roundtrip_with_repeats(self):
+        """Repeated runs force real table entries AND the KwKwK case."""
+        from indian_address_parser_spark.operators.multimodal import decode_gif
+
+        idx = bytes([0, 0, 0, 0, 1, 1, 2, 2, 0, 0, 0, 1, 1, 1, 2, 3] * 4)
+        gif = _make_gif([(8, 8, idx)], _PALETTE4)
+        d = decode_gif(gif)
+        assert (d["width"], d["height"], d["channels"], d["n_frames"]) == (8, 8, 3, 1)
+        assert d["pixels"] == _rgb(idx)
+
+    def test_gif_interlaced_first_frame(self):
+        from indian_address_parser_spark.operators.multimodal import decode_gif
+
+        h, w = 9, 3  # hits all four interlace passes
+        rows = [bytes([(y + x) % 4 for x in range(w)]) for y in range(h)]
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        stored = b"".join(rows[r] for r in order)
+        gif = _make_gif([(w, h, stored)], _PALETTE4, interlace_first=True)
+        d = decode_gif(gif)
+        assert d["pixels"] == _rgb(b"".join(rows))
+
+    def test_gif_counts_frames_and_skips_extensions(self):
+        from indian_address_parser_spark.operators.multimodal import decode_gif
+
+        f1 = bytes([0, 1, 2, 3])
+        f2 = bytes([3, 2, 1, 0])
+        gif = bytearray(_make_gif([(2, 2, f1), (2, 2, f2)], _PALETTE4))
+        # splice a graphic-control extension before the first image block
+        img_at = gif.index(b"\x2c")
+        gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        gif = bytes(gif[:img_at]) + gce + bytes(gif[img_at:])
+        d = decode_gif(gif)
+        assert d["n_frames"] == 2
+        assert d["pixels"] == _rgb(f1)  # first frame decoded, second counted
+
+    def test_gif_bomb_guard(self):
+        import struct
+
+        from indian_address_parser_spark.operators.multimodal import (
+            _GIF_MAX_PIXELS,
+            decode_gif,
+        )
+
+        gif = bytearray(_make_gif([(2, 2, bytes([0, 1, 2, 3]))], _PALETTE4))
+        # forge the image descriptor to claim a giant frame
+        img_at = gif.index(b"\x2c")
+        gif[img_at + 5 : img_at + 9] = struct.pack("<HH", 65535, 65535)
+        with pytest.raises(ValueError, match="cap"):
+            decode_gif(bytes(gif))
+        assert 65535 * 65535 > _GIF_MAX_PIXELS
+
+    def test_gif_property_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from indian_address_parser_spark.operators.multimodal import decode_gif
+
+        @settings(max_examples=25, deadline=None)
+        @given(data=st.data())
+        def check(data):
+            w = data.draw(st.integers(1, 12))
+            h = data.draw(st.integers(1, 12))
+            n_colors = data.draw(st.integers(2, 4))
+            idx = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, n_colors - 1),
+                        min_size=w * h,
+                        max_size=w * h,
+                    )
+                )
+            )
+            palette = _PALETTE4[: 3 * n_colors]
+            d = decode_gif(_make_gif([(w, h, idx)], palette))
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["pixels"] == _rgb(idx, palette)
+
+        check()
+
+    def test_gif_through_mapinpandas(self, spark):
+        idx = bytes([0, 1, 2, 3])
+        gif = _make_gif([(2, 2, idx)], _PALETTE4)
+        df = spark.createDataFrame([("g1", bytearray(gif))], ["url", "html"])
+        row = decode_features(df).collect()[0]
+        assert row["modality"] == "image" and row["decode_error"] is None
+        assert (row["width"], row["height"], row["channels"]) == (2, 2, 3)
+
+
+# --- MP3: synthetic CBR/VBR frame streams -----------------------------------
+
+
+def _mp3_frame_bytes(br_idx: int = 9, sr_idx: int = 0, mono: bool = False,
+                     padding: int = 0) -> bytes:
+    """One MPEG1 Layer-III frame (header + zero payload of the exact
+    header-arithmetic length)."""
+    bitrates = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    rates = (44100, 48000, 32000)
+    b1 = 0xFB  # MPEG1, Layer III, no CRC
+    b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = 0xC0 if mono else 0x00
+    frame_len = 144 * bitrates[br_idx - 1] * 1000 // rates[sr_idx] + padding
+    return bytes([0xFF, b1, b2, b3]) + b"\x00" * (frame_len - 4)
+
+
+def _id3v2(size: int) -> bytes:
+    body = b"\x00" * size
+    ss = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    return b"ID3\x04\x00\x00" + ss + body
+
+
+class TestMp3Decode:
+    def test_cbr_stream_with_id3_tag(self):
+        from indian_address_parser_spark.operators.multimodal import decode_mp3
+
+        payload = _id3v2(77) + _mp3_frame_bytes() * 5
+        d = decode_mp3(payload)
+        assert d["sample_rate"] == 44100 and d["channels"] == 2
+        assert d["n_samples"] == 5 * 1152
+        assert d["duration_ms"] == round(1000.0 * 5 * 1152 / 44100, 3)
+
+    def test_vbr_counts_true_frame_durations(self):
+        from indian_address_parser_spark.operators.multimodal import decode_mp3
+
+        frames = [_mp3_frame_bytes(br_idx=i, mono=True) for i in (3, 9, 14, 5)]
+        d = decode_mp3(b"".join(frames))
+        assert d["channels"] == 1
+        assert d["n_samples"] == 4 * 1152
+
+    def test_false_sync_is_rejected(self):
+        from indian_address_parser_spark.operators.multimodal import decode_mp3
+
+        # 0xFF bytes that never parse as a confirmed header pair
+        with pytest.raises(ValueError, match="no MPEG audio frame"):
+            decode_mp3(b"\xff\x00\xff\x00" * 64)
+
+    def test_garbage_after_last_frame_is_ignored(self):
+        from indian_address_parser_spark.operators.multimodal import decode_mp3
+
+        d = decode_mp3(_mp3_frame_bytes() * 3 + b"TAG" + b"\x00" * 125)
+        assert d["n_samples"] == 3 * 1152
+
+    def test_mp3_through_mapinpandas_bare_sync(self, spark):
+        """A bare (ID3-less) MPEG1-LIII stream sniffs as audio/mp3 and
+        decodes through the DECODERS registry."""
+        payload = _mp3_frame_bytes() * 2
+        df = spark.createDataFrame([("m1", bytearray(payload))], ["url", "html"])
+        row = decode_features(df).collect()[0]
+        assert row["modality"] == "audio" and row["decode_error"] is None
+        assert row["sample_rate"] == 44100
+        assert row["n_samples"] == 2 * 1152
