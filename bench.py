@@ -2,11 +2,23 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...},
+   "cal_mops": {name: mops, ...}, "repeats": N}
 
 The ER pipeline benchmark runs the real pipeline (mapInPandas extraction →
 soundex blocking → scored self-join → star CC) over the deterministic
 synthetic pages fixture sized to the sf, and reports pages/sec.
+
+Self-evidencing noise attribution (r4 lesson: a contaminated host window
+inflated unchanged JVM-only queries up to 3× and the artifact couldn't
+defend itself): a single-thread CPU calibration spin runs OUTSIDE the
+timed window before every query and lands in ``cal_mops`` — a reading far
+below the box's clean ~27-29 Mops marks that query's time as measured
+under co-tenant steal, so a regression can be attributed to host noise
+(or not) from the JSON alone. ``SPARK_GRAFT_BENCH_REPEATS`` (default 1)
+re-runs each query K times and reports the minimum (the least-
+contaminated observation); the per-repeat times are kept in
+``query_repeats`` when K > 1.
 """
 
 from __future__ import annotations
@@ -37,12 +49,29 @@ BENCH_QUERIES = (
     "agg_events_windowed",
     "join_asof_events",
     "events_sessionize",
+    "set_ops_custkeys",
+    "text_tfidf_top_terms",
+    "agg_distinct_users",
+    "agg_events_sliding",
+    "dedup_canonical_keep",
+    "corpus_decontaminate",
 )
 
 
 def _consume(df) -> int:
     """Execute fully without collecting rows to the driver."""
     return df.count()
+
+
+def spin_mops(n: int = 10_000_000) -> float:
+    """Single-thread CPU calibration (pure-Python spin): ~27-29 Mops on
+    this box when clean; co-tenant steal episodes read 5-25. Runs outside
+    every timed window — evidence, not load."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i & 7
+    return round(n / (time.perf_counter() - t0) / 1e6, 1)
 
 
 def warm_python_workers(spark, cores: int) -> None:
@@ -144,33 +173,45 @@ def main() -> None:
     # stays on spark.local.dir's disk default
     spark = get_spark(app_name="bench", prefer_tmpfs_scratch=True)
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
     timings: dict[str, float] = {}
+    cal_mops: dict[str, float] = {}
+    query_repeats: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(SPARK_QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cal_mops[name] = spin_mops()  # outside the timed window
+        obs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _consume(SPARK_QUERIES[name](spark, sf_dir))
+            obs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(obs)
+        if repeats > 1:
+            query_repeats[name] = obs
 
     n_households = {"0.001": 500, "0.01": 5000, "0.1": 50000}.get(sf, 5000)
+    cal_mops["er_pipeline_synthetic"] = spin_mops()
     er = run_er_pipeline(spark, n_households)
     timings["er_pipeline_synthetic"] = round(er["seconds"], 3)
+    cal_mops["end"] = spin_mops()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "throughput": {
-                    "er_pages": er["pages"],
-                    "er_pages_per_sec": round(er["pages_per_sec"], 1),
-                    "er_clusters": er["clusters"],
-                },
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "throughput": {
+            "er_pages": er["pages"],
+            "er_pages_per_sec": round(er["pages_per_sec"], 1),
+            "er_clusters": er["clusters"],
+        },
+        "cal_mops": cal_mops,
+        "repeats": repeats,
+    }
+    if query_repeats:
+        out["query_repeats"] = query_repeats
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1579,7 +1579,7 @@ ASOF_LEFT_TYPE = "click"
 ASOF_RIGHT_TYPE = "purchase"
 
 
-def q_join_asof_events(spark, sf_dir):
+def q_join_asof_events(spark, sf_dir, hot_key_bucket_s: int | None = None):
     """AS-OF join — each left-type event matched to the LATEST right-type
     event by the same user at-or-before it (the time-series join Spark has
     no native operator for; reference-domain analog: attach the most
@@ -1593,13 +1593,34 @@ def q_join_asof_events(spark, sf_dir):
     Right rows are pre-deduped to one per (user_id, ts) — max event_id
     wins — so the as-of match is well-defined under timestamp ties; the
     matched (id, value) travel in ONE struct so they can never come from
-    different rows. Per-key cardinality is human-bounded here; for
-    adversarial hot keys (bot users) the same shape composes with a
-    time-bucket pre-pass. The DuckDB oracle uses its native ASOF LEFT
-    JOIN — a genuinely independent implementation of the semantics."""
+    different rows. The DuckDB oracle uses its native ASOF LEFT JOIN — a
+    genuinely independent implementation of the semantics.
+
+    ``hot_key_bucket_s``: per-key cardinality is human-bounded by default,
+    but an adversarial hot key (a bot user with 10⁵+ events) serializes
+    the per-user window into one task — window partitions are NOT
+    skew-splittable (the measured CC lesson). Passing a bucket width
+    composes the SAME carry shape in two bounded phases instead:
+      1. window over (user_id, time_bucket) — running last-right WITHIN
+         each bucket; hot keys now split across buckets/tasks;
+      2. a per-user window over the tiny per-BUCKET spine (one row per
+         distinct bucket) carries each bucket's final right into the next
+         buckets (strictly-preceding frame), joined back on the same
+         (user_id, bucket) partitioning; per-row match =
+         coalesce(within-bucket, carried-in).
+    Output is row-identical to the single-window plan (pytest-asserted on
+    a planted 10⁵-event bot and against the driver oracle's fixture)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof_union_carry(e, hot_key_bucket_s=hot_key_bucket_s)
+
+
+def asof_union_carry(
+    e, hot_key_bucket_s: int | None = None
+) -> DataFrame:
+    """The as-of operator proper over an events frame (see
+    q_join_asof_events for semantics and the hot-key pre-pass shape)."""
     from pyspark.sql import Window
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
     rights = (
         e.where(F.col("event_type") == ASOF_RIGHT_TYPE)
         .groupBy("user_id", "ts")
@@ -1626,22 +1647,60 @@ def q_join_asof_events(spark, sf_dir):
         F.col("event_id").alias("l_event_id"),
         F.col("event_id").alias("ord_id"),
     )
-    w = (
-        Window.partitionBy("user_id")
+    unified = rights.unionByName(lefts)
+    out_cols = (
+        "l_event_id",
+        "user_id",
+        F.col("ts").alias("l_ts"),
+        F.col("m.r_event_id").alias("r_event_id"),
+        F.round(F.col("m.r_value"), 4).alias("r_value"),
+    )
+
+    if hot_key_bucket_s is None:
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "side", "ord_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            unified.withColumn("m", F.last("r", ignorenulls=True).over(w))
+            .where(F.col("side") == 1)
+            .select(*out_cols)
+        )
+
+    # hot-key pre-pass: bounded windows over (user_id, bucket), then a
+    # per-user carry over the tiny bucket spine
+    bucket_us = int(hot_key_bucket_s) * 1_000_000
+    unified = unified.withColumn(
+        "bucket",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / bucket_us).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy("user_id", "bucket")
         .orderBy("ts", "side", "ord_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    rows = unified.withColumn("m_in", F.last("r", ignorenulls=True).over(w_in))
+    # one row per (user, bucket): that bucket's FINAL right (null when the
+    # bucket holds only lefts) — partial-aggregated map-side
+    spine = unified.groupBy("user_id", "bucket").agg(
+        F.max_by(
+            "r", F.when(F.col("side") == 0, F.struct("ts", "ord_id"))
+        ).alias("bf")
+    )
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = spine.withColumn(
+        "carry", F.last("bf", ignorenulls=True).over(w_carry)
+    ).select("user_id", "bucket", "carry")
     return (
-        rights.unionByName(lefts)
-        .withColumn("m", F.last("r", ignorenulls=True).over(w))
+        rows.join(carry, ["user_id", "bucket"])
+        .withColumn("m", F.coalesce("m_in", "carry"))
         .where(F.col("side") == 1)
-        .select(
-            "l_event_id",
-            "user_id",
-            F.col("ts").alias("l_ts"),
-            F.col("m.r_event_id").alias("r_event_id"),
-            F.round(F.col("m.r_value"), 4).alias("r_value"),
-        )
+        .select(*out_cols)
     )
 
 

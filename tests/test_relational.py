@@ -199,6 +199,92 @@ class TestAsofJoin:
         assert "Join" not in plan, plan  # union-and-carry has zero join nodes
         assert "Python" not in plan
 
+    def test_hot_key_prepass_identical_on_fixture(self, spark):
+        """Bucketed two-phase carry must be row-identical to the oracle-
+        green single-window plan on the driver fixture."""
+        from indian_address_parser_spark.queries import q_join_asof_events
+
+        base = {tuple(r) for r in q_join_asof_events(spark, SF_DIR).collect()}
+        pre = {
+            tuple(r)
+            for r in q_join_asof_events(
+                spark, SF_DIR, hot_key_bucket_s=3600
+            ).collect()
+        }
+        assert base and pre == base
+
+    def test_hot_key_prepass_bounds_partitions_on_bot_user(self, spark, tmp_path):
+        """A planted bot (one user, 10⁵ events) would serialize the
+        per-user window into one task; the bucket pre-pass bounds every
+        window partition while producing the identical result."""
+        from datetime import datetime, timedelta
+
+        import pyspark.sql.functions as F
+
+        from indian_address_parser_spark.queries import (
+            ASOF_LEFT_TYPE,
+            ASOF_RIGHT_TYPE,
+            asof_union_carry,
+        )
+
+        bucket_s = 3600
+        n_bot = 100_000
+        t0 = datetime(2024, 1, 1)
+        bot = (
+            spark.range(n_bot)
+            .select(
+                F.col("id").alias("event_id"),
+                (
+                    F.lit(t0) + F.make_interval(secs=F.col("id").cast("double"))
+                ).alias("ts"),
+                F.lit(999).alias("user_id"),
+                F.when(F.col("id") % 3 == 0, F.lit(ASOF_RIGHT_TYPE))
+                .otherwise(F.lit(ASOF_LEFT_TYPE))
+                .alias("event_type"),
+                (F.col("id") % 97).cast("double").alias("value"),
+                F.lit("").alias("url"),
+            )
+        )
+        human = spark.createDataFrame(
+            [
+                (200001, t0 + timedelta(hours=5), 7, ASOF_RIGHT_TYPE, 1.5, ""),
+                (200002, t0 + timedelta(hours=6), 7, ASOF_LEFT_TYPE, 0.0, ""),
+                (200003, t0, 8, ASOF_LEFT_TYPE, 0.0, ""),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, url string",
+        )
+        events = bot.unionByName(human)
+
+        pre = asof_union_carry(events, hot_key_bucket_s=bucket_s)
+        base = asof_union_carry(events)
+        # identical output under the adversarial key
+        assert pre.exceptAll(base).count() == 0
+        assert base.exceptAll(pre).count() == 0
+        # the pre-pass windows partition by (user_id, bucket): every
+        # partition is bounded by the bucket width, not the bot's 10⁵ rows
+        per_bucket = (
+            events.groupBy(
+                "user_id",
+                (F.unix_micros(F.col("ts").cast("timestamp")) / (bucket_s * 1_000_000))
+                .cast("long")
+                .alias("bucket"),
+            )
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert per_bucket <= bucket_s  # 1 event/sec bot → ≤3600 rows/bucket
+        plan = pre._jdf.queryExecution().sparkPlan().toString()
+        import re
+
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan.lower())
+        assert specs and any("bucket" in s for s in specs), plan
+        # spot-check semantics on the humans: user 7's click matches its
+        # earlier purchase across buckets; user 8 has no purchase
+        got = {r["l_event_id"]: r for r in pre.collect()}
+        assert got[200002]["r_event_id"] == 200001
+        assert got[200003]["r_event_id"] is None
+
 
 class TestSessionize:
     def test_matches_brute_force(self, spark):
