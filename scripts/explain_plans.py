@@ -142,6 +142,22 @@ def main() -> None:
         must_not=("Join", "CartesianProduct", "Python"),
     )
 
+    # as-of hot-key pre-pass: windows bounded by (user_id, bucket) — the
+    # carry join is an equi-join, never a range/cartesian shape, no Python
+    prepass_plan = capture(
+        "as-of join, hot-key bucket pre-pass (bounded windows)",
+        q_join_asof_events(spark, sf, hot_key_bucket_s=3600),
+        must_contain=("Window",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin", "Python"),
+    )
+    checks.append(
+        (
+            "as-of hot-key pre-pass",
+            "window partitions include the time bucket",
+            "bucket" in prepass_plan,
+        )
+    )
+
     # sessionization: lag + running sum + groupBy all on ONE user_id shuffle
     from indian_address_parser_spark.queries import q_events_sessionize
 
@@ -171,6 +187,125 @@ def main() -> None:
         must_contain=("BroadcastHashJoin", "LeftSemi"),
         must_not=("CartesianProduct",),
     )
+    # ... and its count-gated fallback posture: past the broadcast ceiling
+    # the semi-join degrades to a shuffled shape instead of force-
+    # broadcasting a 10⁸-shingle vocabulary (assert on the pre-AQE static
+    # plan; AQE may still upgrade at runtime from MEASURED sizes, which is
+    # exactly the safe adaptive behavior the force-hint bypassed)
+    # isolate the hint from the planner's own size-stat broadcast choice
+    # (which remains free to fire — that is the point of removing the hint)
+    _abt = "spark.sql.autoBroadcastJoinThreshold"
+    _saved = spark.conf.get(_abt)
+    spark.conf.set(_abt, "-1")
+    try:
+        decon_fb = q_corpus_decontaminate(spark, sf, broadcast_max_shingles=0)
+        fb_static = decon_fb._jdf.queryExecution().sparkPlan().toString()
+    finally:
+        spark.conf.set(_abt, _saved)
+    sections.append(
+        "## corpus decontamination, gated fallback (static plan)\n\n"
+        f"```\n{fb_static}\n```\n"
+    )
+    fb_semi = [ln for ln in fb_static.splitlines() if "LeftSemi" in ln]
+    checks.append(
+        (
+            "decontamination fallback",
+            "semi-join is not force-broadcast in the static plan",
+            bool(fb_semi) and all("Broadcast" not in ln for ln in fb_semi),
+        )
+    )
+
+    # incremental-ER reconcile: the cross-cluster prune (plain equi-joins +
+    # a JVM filter) must run BELOW the Arrow JW kernel so the Python stage
+    # sees only the thin cross-batch boundary set
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from indian_address_parser_spark.streaming.incremental_er import (
+        process_batch,
+        reconcile,
+    )
+
+    base = tempfile.mkdtemp(prefix="explain_reconcile_")
+    try:
+        rpages = generate(spark, n_households=100)["pages"]
+        half = F.crc32(F.col("url")) % 2
+        for i in (0, 1):
+            process_batch(
+                rpages.where(half == i), i, f"{base}/state", f"{base}/assign",
+                mentions_dir=f"{base}/mentions",
+            )
+        rec = reconcile(spark, f"{base}/mentions", f"{base}/assign")
+        # NOTE: not capture() — connected_components already executed its
+        # star rounds at construction; explain the assembled frame only
+        rec_plan = rec._jdf.queryExecution().sparkPlan().toString()
+        sections.append(
+            "## incremental-ER reconcile (cross-cluster prune below the "
+            f"Arrow kernel)\n\n```\n{rec_plan}\n```\n"
+        )
+        bridge_plan = None
+        # the bridge-edge subplan is where the prune matters; re-derive it
+        from indian_address_parser_spark.operators.blocking import (
+            with_block_key as _wbk,
+        )
+        from indian_address_parser_spark.operators.pairs import (
+            candidate_pairs as _cp,
+        )
+        from indian_address_parser_spark.operators.scoring import (
+            score_pairs as _sp,
+        )
+
+        mentions = spark.read.parquet(f"{base}/mentions").dropDuplicates(
+            ["mention_id"]
+        )
+        assigns = (
+            spark.read.parquet(f"{base}/assign")
+            .select("mention_id", "cluster_id")
+            .distinct()
+        )
+        pairs = _cp(_wbk(mentions))
+        cross = (
+            pairs.join(
+                assigns.select(
+                    F.col("mention_id").alias("mention_id_a"),
+                    F.col("cluster_id").alias("_cl_a"),
+                ),
+                "mention_id_a",
+            )
+            .join(
+                assigns.select(
+                    F.col("mention_id").alias("mention_id_b"),
+                    F.col("cluster_id").alias("_cl_b"),
+                ),
+                "mention_id_b",
+            )
+            .where(F.col("_cl_a") != F.col("_cl_b"))
+            .drop("_cl_a", "_cl_b")
+        )
+        bridge_plan = _sp(cross)._jdf.queryExecution().sparkPlan().toString()
+        sections.append(
+            f"## reconcile bridge edges (subplan)\n\n```\n{bridge_plan}\n```\n"
+        )
+        arrow_at = bridge_plan.find("ArrowEvalPython")
+        checks.append(
+            (
+                "reconcile bridge",
+                "Arrow JW kernel present and cross-cluster filter below it",
+                arrow_at >= 0 and "_cl_a" in bridge_plan[arrow_at:],
+            )
+        )
+        checks.append(
+            (
+                "reconcile bridge",
+                "no row-at-a-time Python, no cartesian",
+                "BatchEvalPython" not in bridge_plan
+                and "CartesianProduct" not in bridge_plan,
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
