@@ -39,16 +39,29 @@ class TestMultimodal:
         # html has no decoder registered → decode_error set, row kept
         assert all(r["decode_error"] is not None for r in rows)
 
-    def test_decode_features_jpeg_stub(self, spark):
-        """JPEG stays a documented stub (no libjpeg in the container):
-        deterministic fake features, no decode_error."""
+    def test_decode_features_jpeg_real_through_mapinpandas(self, spark):
+        """Baseline JPEG decodes for REAL through the plan (no libjpeg):
+        a genuine photograph from the public Spark distribution's mllib
+        sample data yields its true dimensions; a corrupt JPEG payload is
+        kept with decode_error."""
+        import os
+
+        real = _SPARK_KITTEN
+        if not os.path.exists(real):
+            pytest.skip("Spark sample images not present")
+        payload = open(real, "rb").read()
         df = spark.createDataFrame(
-            [("u1", bytearray(b"\xff\xd8\xff\xe0" + b"x" * 100))], ["url", "html"]
+            [
+                ("kitten", bytearray(payload)),
+                ("corrupt", bytearray(b"\xff\xd8\xff\xe0" + b"x" * 100)),
+            ],
+            ["url", "html"],
         )
-        row = decode_features(df).collect()[0]
-        assert row["modality"] == "image"
-        assert row["decode_error"] is None
-        assert row["width"] >= 64 and row["height"] >= 64 and row["channels"] == 3
+        rows = {r["url"]: r for r in decode_features(df).collect()}
+        k = rows["kitten"]
+        assert k["modality"] == "image" and k["decode_error"] is None
+        assert (k["width"], k["height"], k["channels"]) == (300, 296, 3)
+        assert rows["corrupt"]["decode_error"] is not None
 
     def test_sample_frames_explodes_rows(self, spark):
         df = spark.createDataFrame(
@@ -700,3 +713,283 @@ class TestMp3Decode:
         assert row["modality"] == "audio" and row["decode_error"] is None
         assert row["sample_rate"] == 44100
         assert row["n_samples"] == 2 * 1152
+
+
+# --- minimal baseline JPEG ENCODER (test-only; the exact inverse of
+# decode_jpeg's pipeline: RGB→YCbCr → optional box-mean chroma downsample →
+# 8×8 forward DCT → quantize → zigzag → Huffman RLE with byte stuffing).
+# Huffman tables are a small custom canonical spec (12 DC categories at
+# 4 bits, all 162 baseline AC symbols at 8 bits) shared with the DHT
+# segment, so the decoder exercises its real table-building path. ---
+
+_SPARK_KITTEN = (
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP153539.jpg"
+)
+
+
+def _jpeg_huffspec():
+    dc = ([0, 0, 0, 12] + [0] * 12, bytes(range(12)))
+    ac_syms = bytes([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+    ac = ([0] * 7 + [162] + [0] * 8, ac_syms)
+    return dc, ac
+
+
+def _jpeg_huff_codes(counts, symbols):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, v, k):
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.n:
+            self.put(0xFF, 8 - self.n)  # pad with 1-bits (T.81 F.1.2.3)
+
+
+def _jpeg_mag(v):
+    s = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _make_jpeg(img, samp=None, restart=0, qval=1):
+    """Encode a numpy uint8 image (HxW grayscale or HxWx3 RGB) as a
+    baseline JPEG. qval fills the whole quantization table (qval>255
+    exercises the 16-bit DQT path); samp is a per-component (h, v) list."""
+    import struct
+
+    import numpy as np
+
+    gray = img.ndim == 2
+    h_img, w_img = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        samp = samp or [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    q = np.full(64, float(qval))
+    comp_planes = []
+    for (hs, vs), plane in zip(samp, planes):
+        fh, fw = mcuy * vmax * 8, mcux * hmax * 8
+        pl = np.pad(plane, ((0, fh - h_img), (0, fw - w_img)), mode="edge")
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            pl = pl.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
+        comp_planes.append(pl)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    C = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(2.0 / 8)
+    C[0, :] = np.sqrt(1.0 / 8)
+    from indian_address_parser_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    zig = np.asarray(_JPEG_ZIGZAG)
+    dc_spec, ac_spec = _jpeg_huffspec()
+    dc_codes = _jpeg_huff_codes(*dc_spec)
+    ac_codes = _jpeg_huff_codes(*ac_spec)
+    out = bytearray(b"\xff\xd8")
+    wide = qval > 255
+    body = bytes([(1 << 4) if wide else 0]) + (
+        struct.pack(">64H", *(int(v) for v in q)) if wide else bytes(int(v) for v in q)
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h_img, w_img, ncomp)
+    for i, (hs, vs) in enumerate(samp):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (counts, syms) in ((0, dc_spec), (1, ac_spec)):
+        body = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([ncomp]) + b"".join(bytes([i + 1, 0x00]) for i in range(ncomp))
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    mcu_count = rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bw.flush()
+                out += bw.out
+                bw = _JpegBitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * ncomp
+            for ci, (hs, vs) in enumerate(samp):
+                pl = comp_planes[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        blk = pl[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        zzc = np.rint((C @ blk @ C.T).reshape(64)[zig] / q).astype(int)
+                        diff = int(zzc[0]) - preds[ci]
+                        preds[ci] = int(zzc[0])
+                        s, bits = _jpeg_mag(diff)
+                        code, ln = dc_codes[s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(bits, s)
+                        k = 1
+                        while k < 64:
+                            run = 0
+                            while k < 64 and zzc[k] == 0:
+                                run += 1
+                                k += 1
+                            if k == 64:
+                                code, ln = ac_codes[0x00]  # EOB
+                                bw.put(code, ln)
+                                break
+                            while run >= 16:
+                                code, ln = ac_codes[0xF0]  # ZRL
+                                bw.put(code, ln)
+                                run -= 16
+                            s, bits = _jpeg_mag(int(zzc[k]))
+                            code, ln = ac_codes[(run << 4) | s]
+                            bw.put(code, ln)
+                            bw.put(bits, s)
+                            k += 1
+            mcu_count += 1
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+class TestJpegDecode:
+    def _rand_img(self, h, w, ch, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+    def test_grayscale_roundtrip_near_exact(self):
+        """quant=1 grayscale: the only loss is forward/inverse DCT float
+        rounding — every sample within ±2 of the original."""
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import decode_jpeg
+
+        img = self._rand_img(17, 24, 1, seed=7)
+        d = decode_jpeg(_make_jpeg(img))
+        assert (d["width"], d["height"], d["channels"]) == (24, 17, 1)
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(17, 24)
+        assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 2
+
+    def test_rgb_444_roundtrip(self):
+        """4:4:4 RGB at quant=1: color-convert + DCT rounding only."""
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import decode_jpeg
+
+        img = self._rand_img(21, 19, 3, seed=11)
+        d = decode_jpeg(_make_jpeg(img))
+        assert (d["width"], d["height"], d["channels"]) == (19, 21, 3)
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(21, 19, 3)
+        assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 4
+
+    def test_420_subsampled_gradient(self):
+        """2x2-subsampled chroma on a smooth gradient with odd dimensions:
+        exercises MCU padding, box-mean downsample (encoder) vs nearest-
+        neighbor upsample (decoder), and the final crop."""
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import decode_jpeg
+
+        h, w = 29, 35
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(yy * 4) % 256, (xx * 4) % 256, ((yy + xx) * 2) % 256], axis=-1
+        ).astype(np.uint8)
+        d = decode_jpeg(_make_jpeg(img, samp=[(2, 2), (1, 1), (1, 1)]))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 3)
+        err = np.abs(got.astype(int) - img.astype(int))
+        assert float(err.mean()) < 4.0
+        assert int(err.max()) <= 24  # chroma NN-upsample bound on this gradient
+
+    def test_restart_markers_identical_output(self):
+        """DRI + RSTn segmentation must not change a single pixel."""
+        from indian_address_parser_spark.operators.multimodal import decode_jpeg
+
+        img = self._rand_img(24, 40, 3, seed=3)
+        plain = decode_jpeg(_make_jpeg(img))
+        with_rst = decode_jpeg(_make_jpeg(img, restart=2))
+        assert plain == with_rst
+
+    def test_16bit_quant_table(self):
+        """qval=300 forces the Pq=1 (16-bit DQT) path; a constant-color
+        image reconstructs within the DC quantization error bound."""
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import decode_jpeg
+
+        img = np.full((16, 16), 77, dtype=np.uint8)
+        d = decode_jpeg(_make_jpeg(img, qval=300))
+        got = np.frombuffer(d["pixels"], dtype=np.uint8)
+        assert int(np.abs(got.astype(int) - 77).max()) <= 300 / 2 / 8 + 1
+
+    def test_real_spark_sample_jpeg(self):
+        """A real 4:2:0 photograph from the public Spark distribution
+        decodes to its marker-declared dimensions with plausible content
+        (non-degenerate variance, photographic mean)."""
+        import os
+
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import decode_jpeg
+
+        if not os.path.exists(_SPARK_KITTEN):
+            pytest.skip("Spark sample images not present")
+        d = decode_jpeg(open(_SPARK_KITTEN, "rb").read())
+        assert (d["width"], d["height"], d["channels"]) == (300, 296, 3)
+        a = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(296, 300, 3)
+        assert 30 < float(a.mean()) < 225 and float(a.std()) > 10
+
+    def test_progressive_and_truncated_raise(self):
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import decode_jpeg
+
+        good = _make_jpeg(self._rand_img(8, 8, 1, seed=1))
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+        with pytest.raises(ValueError):
+            decode_jpeg(good[: len(good) // 2])  # mid-entropy truncation
+        with pytest.raises(ValueError, match="cap"):
+            # forged SOF dimensions past the pixel cap
+            import struct
+
+            sof_at = good.index(b"\xff\xc0")
+            forged = bytearray(good)
+            forged[sof_at + 5 : sof_at + 9] = struct.pack(">HH", 65000, 65000)
+            decode_jpeg(bytes(forged))
