@@ -651,19 +651,23 @@ def decode_jpeg(payload: bytes) -> dict:
     return {"width": w_img, "height": h_img, "channels": channels, "pixels": pixels}
 
 
+_IMAGE_DECODERS = {"png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg}
+
+
+def _decode_image_full(payload: bytes, fmt: str) -> dict:
+    """Dispatch to the real per-format decoder, keeping ``pixels``."""
+    dec = _IMAGE_DECODERS.get(fmt)
+    if dec is None:
+        raise NotImplementedError(f"no image decoder for format {fmt}")
+    return dec(payload)
+
+
 def _decode_image(payload: bytes, fmt: str) -> dict:
     """PNG, GIF, and baseline JPEG decode for real (:func:`decode_png`,
     :func:`decode_gif`, :func:`decode_jpeg`); progressive/arithmetic JPEG
     raises NotImplementedError (needs libjpeg) and surfaces as a
     ``decode_error`` row, keeping the downstream plan shape exercised."""
-    if fmt == "png":
-        d = decode_png(payload)
-    elif fmt == "gif":
-        d = decode_gif(payload)
-    elif fmt == "jpeg":
-        d = decode_jpeg(payload)
-    else:
-        raise NotImplementedError(f"no image decoder for format {fmt}")
+    d = _decode_image_full(payload, fmt)
     return {"width": d["width"], "height": d["height"], "channels": d["channels"]}
 
 
@@ -936,3 +940,145 @@ def sample_frames(df: DataFrame, key: str = "url", binary_col: str = "html", eve
             yield pd.DataFrame(cols, columns=["url", "frame_idx", "frame"])
 
     return pruned.mapInPandas(frames, schema)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """REAL pure-stdlib PNG encode (8-bit, filter 0, non-interlaced) — the
+    write half of the thumbnail path. Filter 0 trades a few percent of
+    compression for zero per-byte Python; zlib does the heavy lifting."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(f"pixel buffer is {len(pixels)} bytes, expected {stride * height}")
+    raw = b"".join(b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _resize_kernel(arr, out_h: int, out_w: int, method: str):
+    """Vectorized numpy resize over an (h, w, c) uint8 array — no Python
+    per-pixel loop. ``nearest`` gathers by index; ``bilinear`` uses the
+    standard half-pixel-center source mapping (align_corners=False)."""
+    import numpy as np
+
+    h, w, _c = arr.shape
+    if method == "nearest":
+        yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+        xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+        return arr[yi][:, xi]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1.0 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1.0 - wx) + a[y1][:, x1] * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("png", T.BinaryType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    key: str = "url",
+    binary_col: str = "html",
+    max_side: int = 256,
+    method: str = "bilinear",
+) -> DataFrame:
+    """Thumbnail operator: decode (PNG/GIF/baseline JPEG, all real) →
+    aspect-preserving downscale so max(w, h) ≤ ``max_side`` (never
+    upscales) → re-encode as filter-0 PNG. One output row per input image;
+    non-image or failing payloads are kept with ``decode_error`` set.
+
+    Design for 100 TB: prunes to (key, binary) before the UDF; the resize
+    itself is one vectorized numpy gather/lerp per image (no per-pixel
+    Python); Arrow batch size bounds peak memory alongside the decoders'
+    64 MP dimension caps. Reference parity note: the reference repo has no
+    image path — this operator exists for the training-data-pipeline
+    surface (thumbnailing a crawl before feature extraction).
+    """
+    import numpy as np
+
+    pruned = df.select(key, binary_col)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in RESIZED_SCHEMA.fields}
+            for k, payload in zip(pdf[key], pdf[binary_col]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                modality, fmt = _sniff(payload)
+                row = dict.fromkeys(cols, None)
+                row["url"] = k
+                try:
+                    if modality != "image":
+                        raise NotImplementedError(f"not an image (modality={modality})")
+                    d = _decode_image_full(payload, fmt)
+                    w, h, c = d["width"], d["height"], d["channels"]
+                    arr = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, c)
+                    scale = max_side / max(w, h)
+                    if scale < 1.0:
+                        ow = max(1, round(w * scale))
+                        oh = max(1, round(h * scale))
+                        arr = _resize_kernel(arr, oh, ow, method)
+                    else:
+                        ow, oh = w, h  # never upscale
+                    row.update(
+                        src_width=w,
+                        src_height=h,
+                        width=ow,
+                        height=oh,
+                        channels=c,
+                        png=encode_png(ow, oh, c, arr.tobytes()),
+                    )
+                except NotImplementedError as e:
+                    row["decode_error"] = str(e)
+                except Exception as e:  # corrupt payload: keep the row
+                    row["decode_error"] = f"{type(e).__name__}: {e}"
+                for name, v in row.items():
+                    cols[name].append(v)
+            yield pd.DataFrame(cols, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return pruned.mapInPandas(resize_batches, RESIZED_SCHEMA)

@@ -993,3 +993,81 @@ class TestJpegDecode:
             forged = bytearray(good)
             forged[sof_at + 5 : sof_at + 9] = struct.pack(">HH", 65000, 65000)
             decode_jpeg(bytes(forged))
+
+
+class TestResizeImages:
+    def test_encode_png_roundtrip(self):
+        from indian_address_parser_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        px = bytes(range(120))  # 8×5 RGB
+        d = decode_png(encode_png(8, 5, 3, px))
+        assert (d["width"], d["height"], d["channels"], d["pixels"]) == (8, 5, 3, px)
+
+    def test_bilinear_linear_ramp_exact(self):
+        """Bilinear interpolation of a linear ramp reproduces the ramp
+        (within ±1 rounding) — the defining property of the kernel."""
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import _resize_kernel
+
+        ramp = np.tile(
+            np.linspace(0, 255, 64)[None, :, None], (16, 1, 1)
+        ).astype(np.uint8)
+        r = _resize_kernel(ramp, 8, 32, "bilinear")
+        src_x = (np.arange(32) + 0.5) * 2 - 0.5
+        expected = np.interp(src_x, np.arange(64), ramp[0, :, 0].astype(float))
+        assert float(np.abs(r[0, :, 0].astype(float) - expected).max()) <= 1.0
+
+    def test_nearest_preserves_palette(self):
+        """Nearest-neighbor introduces no new sample values."""
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import _resize_kernel
+
+        rng = np.random.default_rng(5)
+        img = rng.choice(np.array([0, 85, 170, 255], dtype=np.uint8), size=(13, 9, 3))
+        out = _resize_kernel(img, 5, 4, "nearest")
+        assert set(np.unique(out)) <= {0, 85, 170, 255}
+
+    def test_resize_images_through_mapinpandas(self, spark):
+        """PNG + real JPEG + corrupt + non-image through the operator:
+        aspect preserved, no upscaling, output decodable as PNG."""
+        import os
+
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import (
+            decode_png,
+            resize_images,
+        )
+
+        big = np.indices((40, 64)).sum(0).astype(np.uint8)  # 64×40 gray PNG
+        rows = [
+            ("png_big", bytearray(_make_png([big[y].tobytes() for y in range(40)], channels=1))),
+            ("png_small", bytearray(_make_png([bytes([1, 2]), bytes([3, 4])], channels=1))),
+            ("not_image", bytearray(b"<html>hi</html>")),
+            ("corrupt", bytearray(b"\x89PNG\r\n" + b"x" * 32)),
+        ]
+        if os.path.exists(_SPARK_KITTEN):
+            rows.append(("kitten", bytearray(open(_SPARK_KITTEN, "rb").read())))
+        df = spark.createDataFrame(rows, ["url", "html"]).repartition(3)
+        out = {r["url"]: r for r in resize_images(df, max_side=32).collect()}
+        assert len(out) == len(rows)
+        b = out["png_big"]
+        assert (b["src_width"], b["src_height"]) == (64, 40)
+        assert (b["width"], b["height"]) == (32, 20)  # aspect preserved
+        d = decode_png(bytes(b["png"]))
+        assert (d["width"], d["height"], d["channels"]) == (32, 20, 1)
+        s = out["png_small"]  # 2×2 stays 2×2: never upscale
+        assert (s["width"], s["height"]) == (2, 2)
+        assert out["not_image"]["decode_error"] and out["not_image"]["png"] is None
+        assert out["corrupt"]["decode_error"] is not None
+        if "kitten" in out:
+            k = out["kitten"]
+            assert (k["src_width"], k["src_height"]) == (300, 296)
+            assert (k["width"], k["height"]) == (32, 32)  # 300/296 ≈ square
+            kd = decode_png(bytes(k["png"]))
+            assert kd["channels"] == 3
