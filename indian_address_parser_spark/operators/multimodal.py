@@ -9,9 +9,12 @@ width LZW + palette + deinterlace, :func:`decode_gif`), WAV (RIFF walk,
 :func:`decode_mp3`) decode for REAL in pure stdlib; baseline JPEG (SOF0)
 decodes for REAL too — marker walk, Huffman entropy decode, dequantize,
 numpy 8×8 IDCT, chroma upsample, YCbCr→RGB (:func:`decode_jpeg`).
-Progressive JPEG (SOF2) and arithmetic coding are the remaining honest
-gaps, raising ``NotImplementedError`` through ``DECODERS`` so a libjpeg-
-backed decoder drops in per modality without touching the plan.
+WebM/Matroska video metadata decodes via an EBML walk
+(:func:`decode_webm`), and :func:`resize_images` thumbnails through a
+vectorized numpy kernel + stdlib PNG encoder. Progressive JPEG, MP4, and
+actual video-codec frame decode are the remaining honest gaps, raising
+``NotImplementedError`` through ``DECODERS`` so a libjpeg/libvpx-backed
+decoder drops in per modality without touching the plan.
 
 Design for 100 TB: binary columns dominate bytes, so every operator here
 (a) prunes to exactly (key, binary) before the UDF, (b) uses
@@ -1082,3 +1085,132 @@ def resize_images(
             yield pd.DataFrame(cols, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return pruned.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebM / Matroska metadata (EBML, RFC 8794 + the public Matroska element IDs)
+# ---------------------------------------------------------------------------
+
+# container elements we descend into; everything else is skipped by size
+_EBML_CONTAINERS = {
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0xAE,  # TrackEntry
+    0xE0,  # Video
+    0xE1,  # Audio
+}
+
+
+def _ebml_vint(payload: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Parse one EBML variable-length integer at ``pos`` → (value, new_pos).
+    IDs keep the length-marker bit (matching the spec'd element IDs);
+    sizes strip it. An all-ones size is 'unknown' → returned as -1."""
+    if pos >= len(payload):
+        raise ValueError("truncated EBML vint")
+    first = payload[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint (leading byte 0)")
+    length = 8 - first.bit_length() + 1  # leading zeros + 1
+    if pos + length > len(payload):
+        raise ValueError("truncated EBML vint body")
+    raw = int.from_bytes(payload[pos : pos + length], "big")
+    if keep_marker:
+        return raw, pos + length
+    value = raw - (1 << (7 * length))  # strip the marker bit
+    if value == (1 << (7 * length)) - 1:
+        return -1, pos + length  # unknown size
+    return value, pos + length
+
+
+def _ebml_walk(payload: bytes, pos: int, end: int, out: dict, depth: int = 0) -> None:
+    """Iterative-enough recursive walk (container nesting ≤ 6 by the table
+    above) collecting the metadata elements into ``out``."""
+    if depth > 8:
+        raise ValueError("EBML nesting too deep")
+    while pos < end:
+        eid, pos = _ebml_vint(payload, pos, keep_marker=True)
+        size, pos = _ebml_vint(payload, pos, keep_marker=False)
+        body_end = end if size == -1 else min(pos + size, end)
+        if eid in _EBML_CONTAINERS:
+            _ebml_walk(payload, pos, body_end, out, depth + 1)
+            if eid == 0xAE:  # TrackEntry boundary: fold the staged track
+                t = out.pop("_track", {})
+                if t.get("type") == 1 and "video" not in out:
+                    out["video"] = t
+                elif t.get("type") == 2 and "audio" not in out:
+                    out["audio"] = t
+                out["n_tracks"] = out.get("n_tracks", 0) + 1
+        else:
+            body = payload[pos:body_end]
+            if eid == 0x2AD7B1:  # TimestampScale (ns per tick)
+                out["timestamp_scale"] = int.from_bytes(body, "big")
+            elif eid == 0x4489:  # Duration (float ticks)
+                import struct
+
+                if len(body) == 4:
+                    out["duration_ticks"] = struct.unpack(">f", body)[0]
+                elif len(body) == 8:
+                    out["duration_ticks"] = struct.unpack(">d", body)[0]
+            elif eid == 0x83:  # TrackType
+                out.setdefault("_track", {})["type"] = int.from_bytes(body, "big")
+            elif eid == 0x86:  # CodecID
+                out.setdefault("_track", {})["codec"] = body.decode("ascii", "replace")
+            elif eid == 0xB0:  # PixelWidth
+                out.setdefault("_track", {})["width"] = int.from_bytes(body, "big")
+            elif eid == 0xBA:  # PixelHeight
+                out.setdefault("_track", {})["height"] = int.from_bytes(body, "big")
+            elif eid == 0xB5:  # SamplingFrequency (float)
+                import struct
+
+                if len(body) == 4:
+                    out.setdefault("_track", {})["rate"] = struct.unpack(">f", body)[0]
+                elif len(body) == 8:
+                    out.setdefault("_track", {})["rate"] = struct.unpack(">d", body)[0]
+            elif eid == 0x9F:  # Channels
+                out.setdefault("_track", {})["channels"] = int.from_bytes(body, "big")
+        if size == -1:
+            # unknown-size container consumed the rest of the parent
+            return
+        pos = body_end
+
+
+def decode_webm(payload: bytes) -> dict:
+    """REAL pure-stdlib WebM/Matroska METADATA decode: EBML vint walk over
+    Segment → Info (TimestampScale + Duration) and Tracks (first video
+    track's dimensions + codec, first audio track's rate/channels).
+    Handles unknown-size (streamed) Segments. Frame/pixel decode is out of
+    scope — VP8/VP9/AV1 genuinely need libvpx/libaom."""
+    if payload[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML/WebM payload")
+    out: dict = {}
+    _ebml_walk(payload, 0, len(payload), out)
+    scale_ns = out.get("timestamp_scale", 1_000_000)  # Matroska default
+    duration_ms = None
+    if "duration_ticks" in out:
+        duration_ms = round(out["duration_ticks"] * scale_ns / 1e6, 3)
+    video = out.get("video", {})
+    audio = out.get("audio", {})
+    if not out.get("n_tracks"):
+        raise ValueError("EBML stream has no Tracks element")
+    return {
+        "width": video.get("width"),
+        "height": video.get("height"),
+        "channels": audio.get("channels"),
+        "sample_rate": int(audio["rate"]) if audio.get("rate") else None,
+        "duration_ms": duration_ms,
+        "n_tracks": out["n_tracks"],
+        "codec_video": video.get("codec"),
+        "codec_audio": audio.get("codec"),
+    }
+
+
+def _decode_video(payload: bytes, fmt: str) -> dict:
+    """WebM/Matroska metadata decodes for real (:func:`decode_webm`);
+    MP4/ISO-BMFF remains a documented gap."""
+    if fmt == "webm":
+        return decode_webm(payload)
+    raise NotImplementedError(f"no video decoder for format {fmt}")
+
+
+DECODERS["video"] = _decode_video  # registered here: defined below the table

@@ -1071,3 +1071,96 @@ class TestResizeImages:
             assert (k["width"], k["height"]) == (32, 32)  # 300/296 ≈ square
             kd = decode_png(bytes(k["png"]))
             assert kd["channels"] == 3
+
+
+# --- in-test EBML writer (the independent encode half for decode_webm) ---
+
+
+def _ebml_id(i: int) -> bytes:
+    return i.to_bytes((i.bit_length() + 7) // 8, "big")
+
+
+def _ebml_size(n: int) -> bytes:
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            return ((1 << (7 * ln)) | n).to_bytes(ln, "big")
+    raise ValueError("size too large")
+
+
+def _ebml_el(i: int, body: bytes) -> bytes:
+    return _ebml_id(i) + _ebml_size(len(body)) + body
+
+
+def _ebml_uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def _make_webm(duration_ticks=12345.0, scale_ns=1_000_000, unknown_size=False):
+    import struct
+
+    hdr = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"webm"))
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_el(0x2AD7B1, _ebml_uint(scale_ns))
+        + _ebml_el(0x4489, struct.pack(">d", duration_ticks)),
+    )
+    vtrack = _ebml_el(
+        0xAE,
+        _ebml_el(0x83, _ebml_uint(1))
+        + _ebml_el(0x86, b"V_VP9")
+        + _ebml_el(0xE0, _ebml_el(0xB0, _ebml_uint(640)) + _ebml_el(0xBA, _ebml_uint(360))),
+    )
+    atrack = _ebml_el(
+        0xAE,
+        _ebml_el(0x83, _ebml_uint(2))
+        + _ebml_el(0x86, b"A_OPUS")
+        + _ebml_el(
+            0xE1,
+            _ebml_el(0xB5, struct.pack(">f", 48000.0)) + _ebml_el(0x9F, _ebml_uint(2)),
+        ),
+    )
+    tracks = _ebml_el(0x1654AE6B, vtrack + atrack)
+    if unknown_size:  # streamed Matroska: Segment size all-ones
+        return hdr + _ebml_id(0x18538067) + b"\xff" + info + tracks
+    return hdr + _ebml_el(0x18538067, info + tracks)
+
+
+class TestWebmDecode:
+    def test_webm_metadata_roundtrip(self):
+        from indian_address_parser_spark.operators.multimodal import decode_webm
+
+        d = decode_webm(_make_webm())
+        assert (d["width"], d["height"]) == (640, 360)
+        assert (d["sample_rate"], d["channels"]) == (48000, 2)
+        assert d["duration_ms"] == 12345.0
+        assert (d["codec_video"], d["codec_audio"]) == ("V_VP9", "A_OPUS")
+        assert d["n_tracks"] == 2
+
+    def test_unknown_size_segment_and_timestamp_scale(self):
+        """Streamed WebM (unknown-size Segment) parses identically; a
+        non-default TimestampScale rescales the duration."""
+        from indian_address_parser_spark.operators.multimodal import decode_webm
+
+        assert decode_webm(_make_webm(unknown_size=True)) == decode_webm(_make_webm())
+        # 500 ticks at 2ms/tick = 1000 ms
+        d = decode_webm(_make_webm(duration_ticks=500.0, scale_ns=2_000_000))
+        assert d["duration_ms"] == 1000.0
+
+    def test_webm_through_mapinpandas_and_errors(self, spark):
+        from indian_address_parser_spark.operators.multimodal import _decode_video
+
+        df = spark.createDataFrame(
+            [
+                ("vid", bytearray(_make_webm())),
+                ("trunc", bytearray(_make_webm()[:20])),
+            ],
+            ["url", "html"],
+        )
+        rows = {r["url"]: r for r in decode_features(df).collect()}
+        v = rows["vid"]
+        assert v["modality"] == "video" and v["decode_error"] is None
+        assert (v["width"], v["height"], v["sample_rate"]) == (640, 360, 48000)
+        assert v["duration_ms"] == 12345.0
+        assert rows["trunc"]["decode_error"] is not None
+        with pytest.raises(NotImplementedError, match="mp4"):
+            _decode_video(b"", "mp4")
