@@ -242,15 +242,11 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearr
 _GIF_MAX_PIXELS = 64_000_000
 
 
-def decode_gif(payload: bytes) -> dict:
-    """REAL pure-stdlib GIF decode: header + logical screen descriptor →
-    block walk (extensions skipped, frames counted) → first frame LZW
-    decode → palette mapping → RGB ``pixels`` (deinterlaced if needed).
-
-    Returns width/height (of the FIRST frame), channels=3, ``n_frames``
-    across the whole stream, and the first frame's raw RGB bytes.
-    Transparency (GCE bit) is ignored — metadata extraction, not
-    compositing; a production pipeline drops PIL into ``DECODERS``."""
+def _gif_frame_records(payload: bytes) -> list[dict]:
+    """Walk the GIF block stream → one record per image frame (descriptor
+    + effective palette + raw LZW data), extensions skipped. Shared by
+    :func:`decode_gif` (first frame + count) and :func:`sample_frames`
+    (every-N-th frame)."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -264,8 +260,7 @@ def decode_gif(payload: bytes) -> dict:
         n = 3 * (2 << (flags & 0x07))
         global_palette = payload[pos : pos + n]
         pos += n
-    n_frames = 0
-    first: dict | None = None
+    records: list[dict] = []
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -291,43 +286,73 @@ def decode_gif(payload: bytes) -> dict:
         min_code_size = payload[pos]
         pos += 1
         data, pos = _gif_subblocks(payload, pos)
-        n_frames += 1
-        if first is not None:
-            continue  # later frames: counted, not decoded
-        if not w or not h:
-            raise ValueError("zero-sized frame")
-        if w * h > _GIF_MAX_PIXELS:
-            raise ValueError(f"frame claims {w}x{h} pixels (cap {_GIF_MAX_PIXELS})")
-        if palette is None:
-            raise ValueError("no color table for first frame")
-        if not (2 <= min_code_size <= 11):
-            raise ValueError(f"bad LZW minimum code size {min_code_size}")
-        idx = _gif_lzw_decode(data, min_code_size, w * h)
-        if len(idx) < w * h:
-            raise ValueError(f"frame has {len(idx)} pixels, expected {w * h}")
-        idx = idx[: w * h]
-        if iflags & 0x40:  # deinterlace (4-pass row shuffle)
-            rows = [idx[r * w : (r + 1) * w] for r in range(h)]
-            order = (
-                list(range(0, h, 8))
-                + list(range(4, h, 8))
-                + list(range(2, h, 4))
-                + list(range(1, h, 2))
-            )
-            shuffled = [b""] * h
-            for src_row, dst_row in zip(rows, order):
-                shuffled[dst_row] = src_row
-            idx = bytearray(b"".join(shuffled))
-        n_colors = len(palette) // 3
-        pixels = bytearray(w * h * 3)
-        for i, ci in enumerate(idx):
-            if ci >= n_colors:
-                raise ValueError(f"palette index {ci} out of range")
-            pixels[3 * i : 3 * i + 3] = palette[3 * ci : 3 * ci + 3]
-        first = {"width": w, "height": h, "channels": 3, "pixels": bytes(pixels)}
-    if first is None:
+        records.append(
+            {
+                "w": w,
+                "h": h,
+                "iflags": iflags,
+                "palette": palette,
+                "min_code_size": min_code_size,
+                "data": data,
+            }
+        )
+    return records
+
+
+def _gif_decode_frame(rec: dict) -> dict:
+    """LZW-decode one frame record → width/height/channels=3 + RGB bytes
+    (deinterlaced if flagged). Transparency (GCE bit) is ignored —
+    metadata/sampling, not compositing."""
+    w, h = rec["w"], rec["h"]
+    if not w or not h:
+        raise ValueError("zero-sized frame")
+    if w * h > _GIF_MAX_PIXELS:
+        raise ValueError(f"frame claims {w}x{h} pixels (cap {_GIF_MAX_PIXELS})")
+    palette = rec["palette"]
+    if palette is None:
+        raise ValueError("no color table for frame")
+    min_code_size = rec["min_code_size"]
+    if not (2 <= min_code_size <= 11):
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
+    idx = _gif_lzw_decode(rec["data"], min_code_size, w * h)
+    if len(idx) < w * h:
+        raise ValueError(f"frame has {len(idx)} pixels, expected {w * h}")
+    idx = idx[: w * h]
+    if rec["iflags"] & 0x40:  # deinterlace (4-pass row shuffle)
+        rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        shuffled = [b""] * h
+        for src_row, dst_row in zip(rows, order):
+            shuffled[dst_row] = src_row
+        idx = bytearray(b"".join(shuffled))
+    n_colors = len(palette) // 3
+    pixels = bytearray(w * h * 3)
+    for i, ci in enumerate(idx):
+        if ci >= n_colors:
+            raise ValueError(f"palette index {ci} out of range")
+        pixels[3 * i : 3 * i + 3] = palette[3 * ci : 3 * ci + 3]
+    return {"width": w, "height": h, "channels": 3, "pixels": bytes(pixels)}
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL pure-stdlib GIF decode: header + logical screen descriptor →
+    block walk (extensions skipped, frames counted) → first frame LZW
+    decode → palette mapping → RGB ``pixels`` (deinterlaced if needed).
+
+    Returns width/height (of the FIRST frame), channels=3, ``n_frames``
+    across the whole stream, and the first frame's raw RGB bytes.
+    Transparency (GCE bit) is ignored — metadata extraction, not
+    compositing; a production pipeline drops PIL into ``DECODERS``."""
+    records = _gif_frame_records(payload)
+    if not records:
         raise ValueError("GIF contains no image frame")
-    first["n_frames"] = n_frames
+    first = _gif_decode_frame(records[0])
+    first["n_frames"] = len(records)
     return first
 
 
@@ -911,38 +936,72 @@ def decode_features(df: DataFrame, key: str = "url", binary_col: str = "html") -
     return pruned.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
-def sample_frames(df: DataFrame, key: str = "url", binary_col: str = "html", every_n: int = 10) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: one row per sampled frame.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),  # PNG-encoded sampled frame
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
 
-    The decode is stubbed (deterministic frame count from payload length);
-    the EXPLODING row shape — one input row → many output rows, each with a
-    frame index and a (stub) frame payload — is the part that matters for
-    the Spark plan, and is real.
+
+def sample_frames(
+    df: DataFrame, key: str = "url", binary_col: str = "html", every_n: int = 10
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (the EXPLODING row
+    shape — one input row → many output rows — is what matters for the
+    Spark plan). For animated GIFs the sampling is REAL: every ``every_n``-th
+    frame is LZW-decoded and re-encoded as a standalone PNG payload (each
+    frame independently — no inter-frame compositing of partial frames, the
+    standard tradeoff for sampling thumbnails). WebM/MP4 frame decode needs
+    a real codec (libvpx/ffmpeg) and yields a single ``decode_error`` row —
+    their metadata path is :func:`decode_features`.
     """
     pruned = df.select(key, binary_col)
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("frame", T.BinaryType()),
-        ]
-    )
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols: dict[str, list] = {"url": [], "frame_idx": [], "frame": []}
+            cols: dict[str, list] = {f.name: [] for f in FRAME_SCHEMA.fields}
+
+            def emit(k, idx, n, frame, err):
+                cols["url"].append(k)
+                cols["frame_idx"].append(idx)
+                cols["n_frames"].append(n)
+                cols["frame"].append(frame)
+                cols["decode_error"].append(err)
+
             for k, payload in zip(pdf[key], pdf[binary_col]):
                 if payload is None:
                     continue
                 payload = bytes(payload)
-                n_frames = max(1, len(payload) // 1024)  # STUB: ffprobe here
-                for idx in range(0, n_frames, every_n):
-                    cols["url"].append(k)
-                    cols["frame_idx"].append(idx)
-                    cols["frame"].append(payload[idx : idx + 16])  # STUB bytes
-            yield pd.DataFrame(cols, columns=["url", "frame_idx", "frame"])
+                modality, fmt = _sniff(payload)
+                if fmt != "gif":
+                    emit(
+                        k,
+                        None,
+                        None,
+                        None,
+                        f"frame sampling needs a codec for {modality}/{fmt} "
+                        "(GIF is the in-container real path)",
+                    )
+                    continue
+                try:
+                    records = _gif_frame_records(payload)
+                    if not records:
+                        raise ValueError("GIF contains no image frame")
+                    for idx in range(0, len(records), every_n):
+                        d = _gif_decode_frame(records[idx])
+                        png = encode_png(
+                            d["width"], d["height"], d["channels"], d["pixels"]
+                        )
+                        emit(k, idx, len(records), png, None)
+                except Exception as e:  # corrupt payload: keep one error row
+                    emit(k, None, None, None, f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(cols, columns=[f.name for f in FRAME_SCHEMA.fields])
 
-    return pruned.mapInPandas(frames, schema)
+    return pruned.mapInPandas(frames, FRAME_SCHEMA)
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:

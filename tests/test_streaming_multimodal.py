@@ -63,13 +63,34 @@ class TestMultimodal:
         assert (k["width"], k["height"], k["channels"]) == (300, 296, 3)
         assert rows["corrupt"]["decode_error"] is not None
 
-    def test_sample_frames_explodes_rows(self, spark):
+    def test_sample_frames_real_gif(self, spark):
+        """REAL frame sampling: a 7-frame animated GIF sampled every 3
+        frames yields frames 0/3/6, each a decodable PNG whose pixels match
+        the palette-mapped source indices; a webm payload (no codec in
+        container) yields one decode_error row."""
+        from indian_address_parser_spark.operators.multimodal import decode_png
+
+        idx_frames = [(2, 2, bytes([fi % 4] * 4)) for fi in range(7)]
+        gif = _make_gif(idx_frames, _PALETTE4)
         df = spark.createDataFrame(
-            [("u1", bytearray(b"\x1aE\xdf\xa3" + b"f" * 40960))], ["url", "html"]
+            [
+                ("anim", bytearray(gif)),
+                ("vid", bytearray(b"\x1aE\xdf\xa3" + b"f" * 64)),
+            ],
+            ["url", "html"],
         )
-        frames = sample_frames(df, every_n=10).collect()
-        assert len(frames) == 4  # 40 stub frames sampled every 10
-        assert [f["frame_idx"] for f in frames] == [0, 10, 20, 30]
+        rows = sample_frames(df, every_n=3).collect()
+        anim = sorted(
+            (r for r in rows if r["url"] == "anim"), key=lambda r: r["frame_idx"]
+        )
+        assert [r["frame_idx"] for r in anim] == [0, 3, 6]
+        assert all(r["n_frames"] == 7 and r["decode_error"] is None for r in anim)
+        for r in anim:
+            d = decode_png(bytes(r["frame"]))
+            assert (d["width"], d["height"], d["channels"]) == (2, 2, 3)
+            assert d["pixels"] == _rgb(bytes([r["frame_idx"] % 4] * 4))
+        (vid,) = [r for r in rows if r["url"] == "vid"]
+        assert vid["frame"] is None and "codec" in vid["decode_error"]
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
