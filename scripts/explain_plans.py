@@ -52,6 +52,27 @@ def main() -> None:
         must_contain=("ReadSchema: struct<url:string,text:string>",),
         must_not=("html",),
     )
+
+    # multimodal: binary columns dominate bytes at crawl scale, so the
+    # docstring claim "prunes to (key, binary) before the UDF" must hold in
+    # the plan — the scan reads ONLY url+html, never text/lang/warc_ts
+    from indian_address_parser_spark.operators.multimodal import (
+        decode_features,
+        resize_images,
+    )
+
+    capture(
+        "multimodal decode_features (pruned binary scan → MapInPandas)",
+        decode_features(pages),
+        must_contain=("ReadSchema: struct<url:string,html:binary>", "MapInPandas"),
+        must_not=("text:string", "warc_ts"),
+    )
+    capture(
+        "multimodal resize_images (pruned binary scan → MapInPandas)",
+        resize_images(pages, max_side=64),
+        must_contain=("ReadSchema: struct<url:string,html:binary>", "MapInPandas"),
+        must_not=("text:string", "warc_ts"),
+    )
     capture(
         "blocking + candidate self-join + scoring (edges)",
         edges,
