@@ -690,12 +690,47 @@ def _decode_image_full(payload: bytes, fmt: str) -> dict:
     return dec(payload)
 
 
+def _jpeg_sof_dims(payload: bytes) -> dict:
+    """Marker-walk a JPEG for ANY frame header (SOF0-15): width/height/
+    component count are plain header fields, readable even when the entropy
+    layer (progressive, arithmetic, 12-bit) needs libjpeg. Real metadata,
+    no pixels — the same contract as the MP3/WebM metadata decoders."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            continue
+        (length,) = struct.unpack(">H", payload[pos : pos + 2])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _prec, h, w, ncomp = struct.unpack(">BHHB", payload[pos + 2 : pos + 8])
+            return {"width": w, "height": h, "channels": 1 if ncomp == 1 else 3}
+        if marker == 0xDA:
+            break
+        pos += length
+    raise ValueError("no SOF marker found")
+
+
 def _decode_image(payload: bytes, fmt: str) -> dict:
     """PNG, GIF, and baseline JPEG decode for real (:func:`decode_png`,
-    :func:`decode_gif`, :func:`decode_jpeg`); progressive/arithmetic JPEG
-    raises NotImplementedError (needs libjpeg) and surfaces as a
-    ``decode_error`` row, keeping the downstream plan shape exercised."""
-    d = _decode_image_full(payload, fmt)
+    :func:`decode_gif`, :func:`decode_jpeg`). For JPEG variants whose
+    entropy layer genuinely needs libjpeg (progressive/arithmetic), the
+    metadata path still reads the true dimensions from the SOF header —
+    only pixel-consuming operators (resize) surface the gap."""
+    if fmt == "jpeg":
+        try:
+            d = decode_jpeg(payload)
+        except NotImplementedError:
+            d = _jpeg_sof_dims(payload)
+    else:
+        d = _decode_image_full(payload, fmt)
     return {"width": d["width"], "height": d["height"], "channels": d["channels"]}
 
 

@@ -1185,3 +1185,38 @@ class TestWebmDecode:
         assert rows["trunc"]["decode_error"] is not None
         with pytest.raises(NotImplementedError, match="mp4"):
             _decode_video(b"", "mp4")
+
+
+class TestProgressiveJpegMetadata:
+    def test_progressive_dims_through_decode_features(self, spark):
+        """Progressive JPEG (SOF2): pixel decode needs libjpeg, but the
+        metadata path reads the true dimensions from the frame header —
+        verified against a real progressive file from this box's public
+        nodejs docs. resize (pixel-consuming) still surfaces the gap."""
+        import os
+
+        from indian_address_parser_spark.operators.multimodal import resize_images
+
+        prog = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+        if not os.path.exists(prog):
+            pytest.skip("progressive JPEG fixture not present")
+        df = spark.createDataFrame(
+            [("p", bytearray(open(prog, "rb").read()))], ["url", "html"]
+        )
+        row = decode_features(df).collect()[0]
+        assert row["decode_error"] is None
+        assert (row["width"], row["height"], row["channels"]) == (493, 312, 3)
+        rrow = resize_images(df).collect()[0]
+        assert rrow["decode_error"] and "progressive" in rrow["decode_error"]
+
+    def test_synthetic_sof2_dims(self):
+        from indian_address_parser_spark.operators.multimodal import _decode_image
+
+        good = _make_jpeg(
+            __import__("numpy").random.default_rng(2).integers(
+                0, 256, (10, 14), dtype="uint8"
+            )
+        )
+        prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        d = _decode_image(prog, "jpeg")
+        assert (d["width"], d["height"], d["channels"]) == (14, 10, 1)
