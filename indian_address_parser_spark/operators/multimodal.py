@@ -966,7 +966,22 @@ def decode_features(df: DataFrame, key: str = "url", binary_col: str = "html") -
                 for name in _FEATURE_COLS:
                     cols[name].append(feat.get(name))
                 cols["decode_error"].append(err)
-            yield pd.DataFrame(cols, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            # explicit nullable dtypes: a None row must not promote an int
+            # column to float64 (lossy past 2^53 — see image_phash)
+            yield pd.DataFrame(
+                {
+                    "url": cols["url"],
+                    "modality": cols["modality"],
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "channels": pd.array(cols["channels"], dtype="Int32"),
+                    "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                    "n_samples": pd.array(cols["n_samples"], dtype="Int64"),
+                    "duration_ms": pd.array(cols["duration_ms"], dtype="Float64"),
+                    "decode_error": cols["decode_error"],
+                },
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
 
     return pruned.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
@@ -1308,3 +1323,149 @@ def _decode_video(payload: bytes, fmt: str) -> dict:
 
 
 DECODERS["video"] = _decode_video  # registered here: defined below the table
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash) + banded-Hamming image near-dup
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def phash64(arr) -> int:
+    """64-bit perceptual hash of an (h, w, c) uint8 array: BT.601 luma →
+    bilinear 32×32 → 2-D DCT (numpy matmul) → 8×8 low-frequency block →
+    threshold at the median (DC excluded from the median so flat images
+    don't flip half their bits on noise). Same-image re-encodes land within
+    a few bits; distinct images ~32 bits apart (random-bit expectation)."""
+    import numpy as np
+
+    if arr.shape[2] == 3:
+        luma = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    else:
+        luma = arr[..., 0].astype(np.float64)
+    small = _resize_kernel(
+        np.clip(np.rint(luma), 0, 255).astype(np.uint8)[:, :, None], 32, 32, "bilinear"
+    )[:, :, 0].astype(np.float64)
+    n = 32
+    u = np.arange(n).reshape(n, 1)
+    x = np.arange(n).reshape(1, n)
+    basis = np.cos((2 * x + 1) * u * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    basis[0, :] = np.sqrt(1.0 / n)
+    freq = basis @ small @ basis.T
+    block = freq[:8, :8].reshape(64)
+    median = float(np.median(block[1:]))
+    bits = 0
+    for i, v in enumerate(block):
+        if v > median:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits  # signed long
+
+
+def image_phash(df: DataFrame, key: str = "url", binary_col: str = "html") -> DataFrame:
+    """Per-image 64-bit perceptual hash through the real decoders (PNG/
+    GIF/baseline JPEG). Prunes to (key, binary); one vectorized numpy
+    resize+DCT per image; corrupt/undecodable payloads kept with
+    ``decode_error``."""
+    import numpy as np
+
+    pruned = df.select(key, binary_col)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in PHASH_SCHEMA.fields}
+            for k, payload in zip(pdf[key], pdf[binary_col]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                modality, fmt = _sniff(payload)
+                row = dict.fromkeys(cols, None)
+                row["url"] = k
+                try:
+                    if modality != "image":
+                        raise NotImplementedError(f"not an image (modality={modality})")
+                    d = _decode_image_full(payload, fmt)
+                    arr = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+                        d["height"], d["width"], d["channels"]
+                    )
+                    row.update(
+                        phash=phash64(arr), width=d["width"], height=d["height"]
+                    )
+                except NotImplementedError as e:
+                    row["decode_error"] = str(e)
+                except Exception as e:
+                    row["decode_error"] = f"{type(e).__name__}: {e}"
+                for name, v in row.items():
+                    cols[name].append(v)
+            # the hash column MUST be nullable Int64, not inferred: a None
+            # from an undecodable row in the same batch would promote the
+            # column to float64, whose 53-bit mantissa silently rounds the
+            # low ~11 bits of a 64-bit hash away (measured: 0x…1155 →
+            # 0x…1000). Small ints survive float64; full-width hashes don't.
+            yield pd.DataFrame(
+                {
+                    "url": cols["url"],
+                    "phash": pd.array(cols["phash"], dtype="Int64"),
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "decode_error": cols["decode_error"],
+                },
+                columns=[f.name for f in PHASH_SCHEMA.fields],
+            )
+
+    return pruned.mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+def phash_dup_pairs(hashed: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """Image near-dup candidate pairs from (url, phash) rows, ENTIRELY
+    JVM-side: pigeonhole banding (two hashes within ``max_hamming`` bits
+    must agree on ≥1 of ``n_bands`` disjoint 16-bit bands, valid while
+    max_hamming < n_bands) → bucket equi-join → exact Hamming via
+    ``bit_count(a XOR b)`` ≤ threshold. The same shape as the text
+    SimHash64 dedup: never all-pairs, each band join touches only its
+    bucket — at crawl scale the band cardinality keeps buckets small and
+    AQE handles the skewed ones."""
+    if not max_hamming < n_bands:
+        raise ValueError("pigeonhole banding needs max_hamming < n_bands")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = hashed.select(
+        F.col("url"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * width).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("url", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("band"), F.col("key"), F.col("url").alias("url_a"), F.col("phash").alias("phash_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("key"), F.col("url").alias("url_b"), F.col("phash").alias("phash_b")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a",
+            "url_b",
+            F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

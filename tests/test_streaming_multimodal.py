@@ -1220,3 +1220,95 @@ class TestProgressiveJpegMetadata:
         prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
         d = _decode_image(prog, "jpeg")
         assert (d["width"], d["height"], d["channels"]) == (14, 10, 1)
+
+
+class TestImagePhash:
+    @pytest.fixture(scope="class")
+    def kitten_arr(self):
+        import os
+
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import decode_jpeg
+
+        if not os.path.exists(_SPARK_KITTEN):
+            pytest.skip("Spark sample images not present")
+        d = decode_jpeg(open(_SPARK_KITTEN, "rb").read())
+        return np.frombuffer(d["pixels"], np.uint8).reshape(
+            d["height"], d["width"], 3
+        )
+
+    def test_phash_invariance_and_separation(self, kitten_arr):
+        """Same image downscaled 40% and JPEG-re-encoded at coarse quant:
+        ≤4 bits moved. A different photograph: ≥16 bits (random ≈ 32)."""
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import (
+            _resize_kernel,
+            decode_jpeg,
+            phash64,
+        )
+
+        def ham(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+        h0 = phash64(kitten_arr)
+        small = _resize_kernel(
+            kitten_arr, int(kitten_arr.shape[0] * 0.6), int(kitten_arr.shape[1] * 0.6), "bilinear"
+        )
+        assert ham(h0, phash64(small)) <= 4
+        reenc = decode_jpeg(_make_jpeg(kitten_arr, qval=16))
+        rearr = np.frombuffer(reenc["pixels"], np.uint8).reshape(kitten_arr.shape)
+        assert ham(h0, phash64(rearr)) <= 4
+        other = decode_jpeg(
+            open(
+                "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+                "multi-channel/chr30.4.184.jpg",
+                "rb",
+            ).read()
+        )
+        oarr = np.frombuffer(other["pixels"], np.uint8).reshape(
+            other["height"], other["width"], 3
+        )
+        assert ham(h0, phash64(oarr)) >= 16
+
+    def test_phash_dedup_end_to_end(self, spark, kitten_arr):
+        """image_phash + banded-Hamming pairs find the planted near-dup
+        (same kitten, 60% size, PNG vs JPEG container) and nothing else;
+        the pair stage is pure JVM (no Python nodes, no cartesian)."""
+        import numpy as np
+
+        from indian_address_parser_spark.operators.multimodal import (
+            _resize_kernel,
+            encode_png,
+            image_phash,
+            phash_dup_pairs,
+        )
+
+        small = _resize_kernel(kitten_arr, 178, 180, "bilinear")
+        rng = np.random.default_rng(9)
+        noise = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [
+                ("kitten_jpg", bytearray(open(_SPARK_KITTEN, "rb").read())),
+                ("kitten_small_png", bytearray(encode_png(180, 178, 3, small.tobytes()))),
+                ("noise_png", bytearray(encode_png(64, 64, 3, noise.tobytes()))),
+                ("html", bytearray(b"<html>x</html>")),
+            ],
+            ["url", "html"],
+        ).repartition(2)
+        hashed = image_phash(df)
+        rows = {r["url"]: r for r in hashed.collect()}
+        assert rows["html"]["decode_error"] is not None
+        assert all(
+            rows[u]["phash"] is not None
+            for u in ("kitten_jpg", "kitten_small_png", "noise_png")
+        )
+        pairs_df = phash_dup_pairs(
+            hashed.where(F.col("phash").isNotNull()), max_hamming=3, n_bands=4
+        )
+        plan = pairs_df._jdf.queryExecution().toString()
+        assert "CartesianProduct" not in plan
+        pairs = {(r["url_a"], r["url_b"]): r["hamming"] for r in pairs_df.collect()}
+        assert set(pairs) == {("kitten_jpg", "kitten_small_png")}
+        assert pairs[("kitten_jpg", "kitten_small_png")] <= 3
