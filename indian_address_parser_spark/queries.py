@@ -465,8 +465,22 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-def _shingles(spark, sf_dir, k: int = 3) -> DataFrame:
+def _shingles(spark, sf_dir, k: int = 3, split_scan: bool = True) -> DataFrame:
+    """(doc_id, shingle) exploded k-shingles.
+
+    ``split_scan`` (r6): the documents table is one small parquet file →
+    one scan task, so everything downstream (shingle explode, the
+    128-permutation signature partial aggregations) ran single-threaded —
+    the measured bottleneck of the whole dedup family (md5 signature agg:
+    78 s serial vs 11 s at 32 tasks). One round-robin exchange of the
+    5000 (doc_id, words) rows (~1 MB) fans the explode and every partial
+    aggregation across the cores (guide §2.5 "input skew: repartition
+    immediately after the read"). Callers that immediately hash-partition
+    by doc_id pass False to keep a single exchange.
+    """
     d = _docs(spark, sf_dir).select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    if split_scan:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     d = d.withColumn(
         "sh",
         F.array_distinct(
@@ -549,17 +563,78 @@ def _minhash_sig(spark, sf_dir, n_perms: int) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _minhash_sig_md5_arrow(spark, sf_dir, n_perms: int = N_PERMS) -> DataFrame:
+    """md5 MinHash signatures via a per-doc Arrow kernel (r6).
+
+    Byte-identical to :func:`_minhash_sig` (min over the lowercase-hex
+    md5 of ``"{seed}|" + shingle`` per permutation — the DuckDB-parity
+    requirement), computed the way the optimization guide §4.2
+    recommends: ONE hash exchange of the thin (doc_id, shingle) rows, then
+    a mapInPandas kernel holds each doc's 128 running minima as 16-byte
+    digests (digest order == hex order) and emits one final signature row
+    per doc. The JVM formulation paid for 128 ``min(string)`` aggregation
+    buffers — var-length buffers force sort-based aggregation, measured
+    78 s single-task / 11 s at 32 tasks for what this kernel does in ~1 s.
+    The md5 chain exists for the oracle gate; the production path is the
+    xxhash64 twin (JVM codegen, partial-aggregated, no Python)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sh = _shingles(spark, sf_dir, split_scan=False).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"mh{s}", T.StringType()) for s in range(n_perms)]
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        prefixes = [f"{s}|".encode() for s in range(n_perms)]
+        mins: dict = {}
+        for pdf in batches:
+            for doc, shingle in zip(pdf["doc_id"].to_numpy(), pdf["shingle"]):
+                b = shingle.encode()
+                row = mins.get(doc)
+                if row is None:
+                    mins[doc] = [md5(p + b).digest() for p in prefixes]
+                else:
+                    for i, p in enumerate(prefixes):
+                        d = md5(p + b).digest()
+                        if d < row[i]:
+                            row[i] = d
+        if mins:
+            docs = sorted(mins)
+            data = {"doc_id": docs}
+            for i in range(n_perms):
+                data[f"mh{i}"] = [mins[doc][i].hex() for doc in docs]
+            yield pd.DataFrame(data)
+
+    return sh.mapInPandas(kernel, schema)
+
+
 def _band_pairs(sig: DataFrame, r: int) -> DataFrame:
     """(doc_id, mh0..mhN) signatures → unordered candidate pairs sharing at
     least one band of ``r`` consecutive signature values. Bucketed band
-    join, never all-pairs: scales as sum of bucket sizes²."""
+    join, never all-pairs: scales as sum of bucket sizes².
+
+    The stacked band frame is lazily localCheckpoint-ed (r6): a self-join
+    on a derived frame otherwise executes the full signature subtree
+    TWICE — the round-5 plans show two complete scan→shingle→128-min
+    aggregation pipelines feeding the join (guide §2.4: share one
+    computation across both join branches; same device as the CC loop's
+    edge-input checkpoint)."""
     band_cols = [
         F.concat_ws(
             "|", F.lit(str(b)), *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
         )
         for b in range(N_BANDS)
     ]
-    stacked = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
+    stacked = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).localCheckpoint(eager=False)
     a = stacked.select(F.col("doc_id").alias("id_a"), "band")
     b = stacked.select(F.col("doc_id").alias("id_b"), F.col("band").alias("bd"))
     return (
@@ -573,8 +648,11 @@ def q_dedup_minhash128_band_pairs(spark, sf_dir):
     """Crawl-grade LSH near-dup candidates: 128-perm MinHash in 32 bands of
     r=4 (P[pair surfaces] = 1-(1-j^4)^32 — ~0.5 crossover at j≈0.59).
     md5 signatures so DuckDB replays them exactly (the oracle gate); the
-    production path is :func:`q_dedup_minhash128_xxhash_band_pairs`."""
-    return _band_pairs(_minhash_sig(spark, sf_dir, N_PERMS), N_PERMS // N_BANDS)
+    production path is :func:`q_dedup_minhash128_xxhash_band_pairs`.
+    r6: signatures come from the Arrow min-digest kernel
+    (:func:`_minhash_sig_md5_arrow` — bit-identical output, ~7× faster
+    than the sort-based 128×min(string) aggregation it replaces)."""
+    return _band_pairs(_minhash_sig_md5_arrow(spark, sf_dir), N_PERMS // N_BANDS)
 
 
 def q_dedup_minhash128_xxhash_band_pairs(spark, sf_dir):
@@ -586,7 +664,10 @@ def q_dedup_minhash128_xxhash_band_pairs(spark, sf_dir):
     oracled md5 variant is property-tested: identical shingle sets ⇒
     identical signatures ⇒ all 32 bands collide in both, and on the
     fixture both variants surface every true near-dup pair
-    (tests/test_dedup_sim.py)."""
+    (tests/test_dedup_sim.py). The 128 long min-aggregates stay on the
+    JVM hash-agg fast path; _shingles' scan-split exchange (r6) fans the
+    partial aggregation across the cores instead of the single scan task
+    the one-file documents table used to produce."""
     sh = _shingles(spark, sf_dir)
     aggs = [
         F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh{seed}")
@@ -601,13 +682,20 @@ def q_dedup_ngram_jaccard_dfcap(spark, sf_dir):
     stopword-grade and produce quadratic pair blow-up at crawl scale — a hot
     boilerplate 3-gram shared by 10^6 pages alone generates 5·10^11 pairs).
     Denominators keep the full shingle counts, so the capped jaccard is a
-    documented lower bound of the true one."""
-    sh = _shingles(spark, sf_dir)
+    documented lower bound of the true one.
+
+    r6: the shingle frame feeds FOUR consumers (per-doc counts, the DF
+    histogram, and both sides of the rare-shingle self-join) — without a
+    checkpoint each consumer re-ran the scan→split→explode subtree (six
+    evaluations counting the join's two branches). One lazy
+    localCheckpoint of the exploded rows (and one of ``rare``, consumed
+    by both join sides) executes it once (guide §2.4)."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
         df_counts.where(F.col("df") <= DF_CAP).select("shingle"), "shingle"
-    )
+    ).localCheckpoint(eager=False)
     a = rare.select(F.col("doc_id").alias("id_a"), "shingle")
     b = rare.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh2"))
     inter = (
@@ -635,9 +723,14 @@ _NIBBLE_BIT_SETS = {3: "89abcdef", 2: "4567cdef", 1: "2367abef", 0: "13579bdf"}
 
 def _simhash64_bands(spark, sf_dir) -> DataFrame:
     """64-bit SimHash as four 16-bit band integers b0..b3 (single hash-agg
-    pass: 64 ±1 vote sums per doc)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    pass: 64 ±1 vote sums per doc). r6: the one-file documents scan is
+    round-robin split before the word explode so the 64-column partial
+    aggregation runs on every core instead of the single scan task."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
     )
     d = d.withColumn("h", F.md5("w"))
     vote_cols = []
@@ -668,7 +761,10 @@ def q_dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3):
     """Banded-Hamming near-dup pairs: by pigeonhole, any two signatures with
     Hamming distance ≤ 3 agree on at least one of the 4 16-bit bands, so a
     band-bucket join finds ALL such pairs without an all-pairs scan; the
-    exact 64-bit Hamming distance then filters bucket collisions."""
+    exact 64-bit Hamming distance then filters bucket collisions.
+    r6: the stacked band frame is lazily localCheckpoint-ed so the
+    self-join's two branches share ONE signature aggregation instead of
+    re-running the scan→explode→64-sum subtree per side (guide §2.4)."""
     sig = _simhash64_bands(spark, sf_dir)
     bands = sig.select(
         "doc_id", "b0", "b1", "b2", "b3",
@@ -678,7 +774,7 @@ def q_dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3):
                 for k in range(4)
             ])
         ).alias("band"),
-    )
+    ).localCheckpoint(eager=False)
     a = bands.select(
         F.col("doc_id").alias("id_a"), "band",
         *[F.col(f"b{k}").alias(f"b{k}_a") for k in range(4)],
@@ -808,21 +904,27 @@ def _cosine(a, b):
 
 
 def q_sim_cosine_topk(spark, sf_dir, k: int = 5):
+    """Brute-force cosine top-k — still the deliberately-quadratic oracle
+    baseline for the ANN paths (every vector is scored against every
+    other). r6: the n²-row HOF join (interpreted 64-element fold per
+    pair, array payloads flowing through a nested-loop join) became one
+    narrow Arrow kernel over a broadcast (ids, matrix) — guide §4.2. The
+    kernel emits every row that can reach the rounded top-k (candidate
+    bound proof in veckernels.brute_topk_candidates); the round + window
+    that perform the exact final selection are byte-identical to r5's."""
     from pyspark.sql import Window
 
-    # norms are hoisted out of the quadratic pair loop — same sequential
-    # float math as computing them per pair, 1/3 the work
-    e = _emb_double(spark, sf_dir).withColumn(
-        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    from indian_address_parser_spark.functions.veckernels import (
+        brute_topk_candidates,
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = a.join(b, F.col("id_a") != F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+
+    queries_df = (
+        _emb(spark, sf_dir)
+        .select("vec_id")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    scored = pairs.select(
-        "id_a", "id_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos")
+    scored = brute_topk_candidates(spark, sf_dir, queries_df, k).select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return (
@@ -967,9 +1069,21 @@ def q_sim_topk_ivf_kmeans(spark, sf_dir, k: int = 3, nprobe: int | None = None):
     cents = train_ivf_centroids(sf_dir)
     if nprobe is None:
         nprobe = ivf_nprobe_for(len(cents))
-    e = _emb_double(spark, sf_dir)
+    from indian_address_parser_spark.functions.veckernels import attach_pair_cos
 
-    assigned = ivf_assign_cells(spark, e, cents, nprobe)
+    e = _emb_double(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    # r6: the assignment kernel feeds BOTH the probe and the assign side
+    # of the candidate join — the lazy localCheckpoint shares one Arrow
+    # pass (r5 ran the centroid matmul twice); the exact re-rank cosine is
+    # the broadcast-matrix Arrow kernel (bit-identical doubles — see
+    # veckernels), so the two array-attach joins are gone and the pair
+    # frame carries only 8-byte ids.
+    assigned = ivf_assign_cells(spark, e, cents, nprobe).localCheckpoint(
+        eager=False
+    )
     assign = assigned.select(
         F.col("vec_id").alias("id_b"), F.element_at("cells", 1).alias("cell")
     )
@@ -979,16 +1093,8 @@ def q_sim_topk_ivf_kmeans(spark, sf_dir, k: int = 3, nprobe: int | None = None):
     cand = probes.join(
         assign, (F.col("pcell") == F.col("cell")) & (F.col("id_a") != F.col("id_b"))
     ).select("id_a", "id_b")
-    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    scored = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
-        )
+    scored = attach_pair_cos(spark, sf_dir, cand).select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
     )
     wk = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return (
@@ -1191,10 +1297,61 @@ def lsh_planes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]
     ]
 
 
+def _lsh_band_stacked(spark, sf_dir) -> DataFrame:
+    """(vec_id, band) stacked band keys from the Arrow plane-signature
+    kernel, lazily localCheckpoint-ed: the candidate self-join's two
+    branches share ONE signature pass (r6 — the r5 plan evaluated the 16
+    interpreted plane-dot folds twice per vector, once per join side)."""
+    from indian_address_parser_spark.functions.veckernels import (
+        plane_band_signature,
+    )
+
+    ids_df = (
+        _emb(spark, sf_dir)
+        .select("vec_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sig = plane_band_signature(spark, sf_dir, ids_df)
+    return sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.concat_ws(":", F.lit("0"), F.col("band0").cast("string")),
+                F.concat_ws(":", F.lit("1"), F.col("band1").cast("string")),
+            )
+        ).alias("band"),
+    ).localCheckpoint(eager=False)
+
+
 def q_sim_lsh_topk(spark, sf_dir, k: int = 5):
     """ANN top-k via random-hyperplane LSH over the embeddings table —
-    see :func:`lsh_topk` for semantics and the recall/pruning trade."""
-    return lsh_topk(_emb_double(spark, sf_dir), k=k)
+    see :func:`lsh_topk` for semantics and the recall/pruning trade
+    (lsh_topk remains the embedding-frame-generic library operator).
+    r6: band signatures and the exact re-rank cosine both run as Arrow
+    kernels over the broadcast matrix (bit-identical doubles — see
+    veckernels); the pair frame carries only 8-byte ids, so the two
+    array-attach joins of the r5 plan are gone."""
+    from pyspark.sql import Window
+
+    from indian_address_parser_spark.functions.veckernels import attach_pair_cos
+
+    stacked = _lsh_band_stacked(spark, sf_dir)
+    a = stacked.select(F.col("vec_id").alias("id_a"), "band")
+    b = stacked.select(F.col("vec_id").alias("id_b"), F.col("band").alias("bd"))
+    cand = (
+        a.join(b, (F.col("band") == F.col("bd")) & (F.col("id_a") != F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = attach_pair_cos(spark, sf_dir, cand).select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("id_a", "id_b", "cos", "rk")
+    )
 
 
 def lsh_topk(e: DataFrame, k: int = 5):
@@ -1276,33 +1433,13 @@ def q_dedup_embedding_cosine(spark, sf_dir, tau: float = COSINE_DEDUP_TAU):
     band pair at that radius); the synthetic embeddings table carries no
     true near-dups (max candidate cosine ≈ 0.47), so the bench threshold
     sits at the top of the data's similarity range to keep the operator's
-    output non-empty and hash-checkable."""
-    e = _emb_double(spark, sf_dir)
-    planes = lsh_planes()
+    output non-empty and hash-checkable.
+    r6: band signatures + exact pair cosine run as Arrow kernels over the
+    broadcast matrix (same shared band-stack checkpoint as sim_lsh_topk;
+    bit-identical doubles — see veckernels)."""
+    from indian_address_parser_spark.functions.veckernels import attach_pair_cos
 
-    def bit(p: int):
-        arr = F.array(*[F.lit(s) for s in planes[p]])
-        dot = F.aggregate(
-            F.zip_with("v", arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        return F.when(dot >= 0, 1).otherwise(0)
-
-    band0 = sum([bit(i) * F.lit(1 << i) for i in range(1, 8)], bit(0))
-    band1 = sum([bit(8 + i) * F.lit(1 << i) for i in range(1, 8)], bit(8))
-    sig = e.select(
-        "vec_id",
-        band0.cast("int").alias("band0"),
-        band1.cast("int").alias("band1"),
-    )
-    stacked = sig.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.concat_ws(":", F.lit("0"), F.col("band0").cast("string")),
-                F.concat_ws(":", F.lit("1"), F.col("band1").cast("string")),
-            )
-        ).alias("band"),
-    )
+    stacked = _lsh_band_stacked(spark, sf_dir)
     a = stacked.select(F.col("vec_id").alias("id_a"), "band")
     b = stacked.select(F.col("vec_id").alias("id_b"), F.col("band").alias("bd"))
     cand = (
@@ -1310,14 +1447,9 @@ def q_dedup_embedding_cosine(spark, sf_dir, tau: float = COSINE_DEDUP_TAU):
         .select("id_a", "id_b")
         .distinct()
     )
-    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos")
-        )
+        attach_pair_cos(spark, sf_dir, cand)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
         .where(F.col("cos") >= tau)
     )
 
@@ -1779,7 +1911,12 @@ def q_corpus_decontaminate(
     then one distinct + one left join on doc_id."""
     sh = _shingles(spark, sf_dir)
     is_eval = F.col("doc_id") % 20 == 0
-    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    # lazy localCheckpoint (r6, ADVICE r5): the count gate and the
+    # semi-join probe share ONE evaluation of the eval-side distinct
+    # instead of re-running the scan→explode→distinct chain per consumer
+    eval_sh = (
+        sh.where(is_eval).select("shingle").distinct().localCheckpoint(eager=False)
+    )
     n_eval = eval_sh.count()
     probe = (
         F.broadcast(eval_sh) if n_eval <= broadcast_max_shingles else eval_sh
