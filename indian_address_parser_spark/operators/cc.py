@@ -230,11 +230,17 @@ def connected_components(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _truncate(df: DataFrame) -> DataFrame:
-        # LAZY checkpoint: truncates the logical plan immediately (the
-        # iterated plan otherwise grows ~5× per round — the driver then
-        # spends minutes just stringifying plan trees) but defers the
-        # materializing job to the fingerprint agg → one job per iteration.
-        return df.checkpoint(eager=False) if checkpoint_dir else df.localCheckpoint(eager=False)
+        # EAGER checkpoint (r6). The r1-r5 design deferred materialization
+        # to the fingerprint agg ("one job per iteration"), but under AQE
+        # that laziness is an illusion that costs real time: building the
+        # checkpoint's RDD (queryExecution.toRdd) already materializes
+        # every upstream shuffle stage at CONSTRUCTION time, and the
+        # final, most expensive stage (e.g. the Python JW scoring pass
+        # feeding the loop) is then re-executed by consumers racing ahead
+        # of the first cache fill — measured 16.6 s → 10.1 s warm for
+        # er_clusters at sf0.1 by switching to eager. Eager pins each
+        # round's result exactly once and every consumer reads the cache.
+        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint(eager=True)
 
     # Checkpoint the INPUT edge list first: `nodes`, the initial star graph
     # and the final label joins all branch off it. Without this every branch

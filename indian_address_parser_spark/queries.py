@@ -214,6 +214,14 @@ def _scored_pairs(spark, sf_dir) -> DataFrame:
     a = b.select(F.col("doc_id").alias("id_a"), "block_key", *[F.col(c).alias(c + "_a") for c in cols])
     c = b.select(F.col("doc_id").alias("id_b"), F.col("block_key").alias("bk"), *[F.col(c).alias(c + "_b") for c in cols])
     p = a.join(c, (F.col("block_key") == F.col("bk")) & (F.col("id_a") < F.col("id_b")))
+    # r6: narrow projection + round-robin fan-out BEFORE the Arrow JW
+    # kernel — the block join's AQE-coalesced output otherwise runs the
+    # Python UDF on 1-2 tasks (measured ~7 s serial for the 880k-pair
+    # JW pass at sf0.1; fanned out it is sub-second). Same lesson, same
+    # shape as operators/scoring.py's documented narrow exchange.
+    p = p.select(
+        "id_a", "id_b", *[F.col(f"{c}_{s}") for c in cols for s in ("a", "b")]
+    ).repartition(p.sparkSession.sparkContext.defaultParallelism)
 
     def lev_sim(x, y):
         ml = F.greatest(F.length(x), F.length(y))
@@ -620,7 +628,7 @@ def _band_pairs(sig: DataFrame, r: int) -> DataFrame:
     least one band of ``r`` consecutive signature values. Bucketed band
     join, never all-pairs: scales as sum of bucket sizes².
 
-    The stacked band frame is lazily localCheckpoint-ed (r6): a self-join
+    The stacked band frame is eagerly localCheckpoint-ed (r6): a self-join
     on a derived frame otherwise executes the full signature subtree
     TWICE — the round-5 plans show two complete scan→shingle→128-min
     aggregation pipelines feeding the join (guide §2.4: share one
@@ -634,7 +642,7 @@ def _band_pairs(sig: DataFrame, r: int) -> DataFrame:
     ]
     stacked = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = stacked.select(F.col("doc_id").alias("id_a"), "band")
     b = stacked.select(F.col("doc_id").alias("id_b"), F.col("band").alias("bd"))
     return (
@@ -687,15 +695,15 @@ def q_dedup_ngram_jaccard_dfcap(spark, sf_dir):
     r6: the shingle frame feeds FOUR consumers (per-doc counts, the DF
     histogram, and both sides of the rare-shingle self-join) — without a
     checkpoint each consumer re-ran the scan→split→explode subtree (six
-    evaluations counting the join's two branches). One lazy
+    evaluations counting the join's two branches). One eager
     localCheckpoint of the exploded rows (and one of ``rare``, consumed
     by both join sides) executes it once (guide §2.4)."""
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
         df_counts.where(F.col("df") <= DF_CAP).select("shingle"), "shingle"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = rare.select(F.col("doc_id").alias("id_a"), "shingle")
     b = rare.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh2"))
     inter = (
@@ -762,7 +770,7 @@ def q_dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3):
     Hamming distance ≤ 3 agree on at least one of the 4 16-bit bands, so a
     band-bucket join finds ALL such pairs without an all-pairs scan; the
     exact 64-bit Hamming distance then filters bucket collisions.
-    r6: the stacked band frame is lazily localCheckpoint-ed so the
+    r6: the stacked band frame is eagerly localCheckpoint-ed so the
     self-join's two branches share ONE signature aggregation instead of
     re-running the scan→explode→64-sum subtree per side (guide §2.4)."""
     sig = _simhash64_bands(spark, sf_dir)
@@ -774,7 +782,7 @@ def q_dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3):
                 for k in range(4)
             ])
         ).alias("band"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = bands.select(
         F.col("doc_id").alias("id_a"), "band",
         *[F.col(f"b{k}").alias(f"b{k}_a") for k in range(4)],
@@ -1076,13 +1084,13 @@ def q_sim_topk_ivf_kmeans(spark, sf_dir, k: int = 3, nprobe: int | None = None):
     )
 
     # r6: the assignment kernel feeds BOTH the probe and the assign side
-    # of the candidate join — the lazy localCheckpoint shares one Arrow
+    # of the candidate join — the eager localCheckpoint shares one Arrow
     # pass (r5 ran the centroid matmul twice); the exact re-rank cosine is
     # the broadcast-matrix Arrow kernel (bit-identical doubles — see
     # veckernels), so the two array-attach joins are gone and the pair
     # frame carries only 8-byte ids.
     assigned = ivf_assign_cells(spark, e, cents, nprobe).localCheckpoint(
-        eager=False
+        eager=True
     )
     assign = assigned.select(
         F.col("vec_id").alias("id_b"), F.element_at("cells", 1).alias("cell")
@@ -1299,7 +1307,7 @@ def lsh_planes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]
 
 def _lsh_band_stacked(spark, sf_dir) -> DataFrame:
     """(vec_id, band) stacked band keys from the Arrow plane-signature
-    kernel, lazily localCheckpoint-ed: the candidate self-join's two
+    kernel, eagerly localCheckpoint-ed: the candidate self-join's two
     branches share ONE signature pass (r6 — the r5 plan evaluated the 16
     interpreted plane-dot folds twice per vector, once per join side)."""
     from indian_address_parser_spark.functions.veckernels import (
@@ -1320,7 +1328,7 @@ def _lsh_band_stacked(spark, sf_dir) -> DataFrame:
                 F.concat_ws(":", F.lit("1"), F.col("band1").cast("string")),
             )
         ).alias("band"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
 
 def q_sim_lsh_topk(spark, sf_dir, k: int = 5):
@@ -1911,11 +1919,11 @@ def q_corpus_decontaminate(
     then one distinct + one left join on doc_id."""
     sh = _shingles(spark, sf_dir)
     is_eval = F.col("doc_id") % 20 == 0
-    # lazy localCheckpoint (r6, ADVICE r5): the count gate and the
+    # eager localCheckpoint (r6, ADVICE r5): the count gate and the
     # semi-join probe share ONE evaluation of the eval-side distinct
     # instead of re-running the scan→explode→distinct chain per consumer
     eval_sh = (
-        sh.where(is_eval).select("shingle").distinct().localCheckpoint(eager=False)
+        sh.where(is_eval).select("shingle").distinct().localCheckpoint(eager=True)
     )
     n_eval = eval_sh.count()
     probe = (
