@@ -52,9 +52,6 @@ _MAGIC = (
     (b"GIF8", ("image", "gif")),
     (b"RIFF", ("audio", "wav")),
     (b"ID3", ("audio", "mp3")),
-    (b"\xff\xfb", ("audio", "mp3")),  # bare MPEG1-LIII sync (no ID3 tag)
-    (b"\xff\xf3", ("audio", "mp3")),  # MPEG2-LIII
-    (b"\xff\xf2", ("audio", "mp3")),
     (b"\x1aE\xdf\xa3", ("video", "webm")),
 )
 
@@ -63,6 +60,16 @@ def _sniff(payload: bytes) -> tuple[str, str]:
     for magic, kind in _MAGIC:
         if payload[: len(magic)].lower().startswith(magic.lower()):
             return kind
+    # Bare MPEG-audio sync (no ID3 tag), matched structurally (ADVICE r5):
+    # 11 sync bits + valid version/layer bits — the old 0xFFFB/F3/F2
+    # prefix list missed spec-legal variants (0xFFFA MPEG1-LIII+CRC,
+    # Layer I/II syncs), which then fell through to binary/unknown and a
+    # decode_error row even though decode_mp3 handles them.
+    if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        version_bits = (payload[1] >> 3) & 0x03
+        layer_bits = (payload[1] >> 1) & 0x03
+        if version_bits != 1 and layer_bits != 0:
+            return ("audio", "mp3")
     return ("binary", "unknown")
 
 
@@ -469,6 +476,9 @@ def _jpeg_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
                 cur = bytearray()
                 pos += 2
                 continue
+            if m == 0xFF:  # spec-legal fill byte before a marker (ADVICE
+                pos += 1  # r5): re-examine at the next byte, don't truncate
+                continue
             break  # EOI or another marker ends the scan
         cur.append(b)
         pos += 1
@@ -718,20 +728,57 @@ def _jpeg_sof_dims(payload: bytes) -> dict:
     raise ValueError("no SOF marker found")
 
 
+def _png_ihdr_dims(payload: bytes) -> dict:
+    """Header-only PNG metadata from the IHDR chunk. Applies the same
+    scope gates as :func:`decode_png` (8-bit, non-interlaced, color types
+    0/2/4/6) so unsupported variants still surface as decode_error rows,
+    but never inflates or unfilters the IDAT stream."""
+    import struct
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    if pos + 8 > len(payload):
+        raise ValueError("truncated chunk")
+    (length,) = struct.unpack(">I", payload[pos : pos + 4])
+    if payload[pos + 4 : pos + 8] != b"IHDR" or length < 13:
+        raise ValueError("no IHDR chunk")
+    ihdr = payload[pos + 8 : pos + 8 + length]
+    if len(ihdr) < 13:
+        raise ValueError("truncated chunk")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} (only 8-bit supported)")
+    if interlace:
+        raise NotImplementedError("Adam7 interlacing")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color}")
+    return {"width": w, "height": h, "channels": channels}
+
+
 def _decode_image(payload: bytes, fmt: str) -> dict:
-    """PNG, GIF, and baseline JPEG decode for real (:func:`decode_png`,
-    :func:`decode_gif`, :func:`decode_jpeg`). For JPEG variants whose
-    entropy layer genuinely needs libjpeg (progressive/arithmetic), the
-    metadata path still reads the true dimensions from the SOF header —
-    only pixel-consuming operators (resize) surface the gap."""
+    """METADATA path: header-only parsers (r6, ADVICE r5) — the r5 version
+    fully entropy-decoded pixels (per-bit JPEG Huffman+IDCT, PNG inflate +
+    unfilter, GIF LZW + palette mapping) and then discarded everything but
+    width/height/channels, contradicting the module's own 100 TB design
+    notes. Dimensions and channel counts are plain header fields:
+    JPEG SOF marker walk (:func:`_jpeg_sof_dims` — all variants, incl. the
+    progressive/arithmetic ones whose entropy layer needs libjpeg), PNG
+    IHDR (:func:`_png_ihdr_dims`), GIF descriptor walk (first frame's
+    descriptor via :func:`_gif_frame_records`, no LZW decode). Full decode
+    remains where pixels are consumed (resize_images, image_phash,
+    sample_frames, decode_png/gif/jpeg)."""
     if fmt == "jpeg":
-        try:
-            d = decode_jpeg(payload)
-        except NotImplementedError:
-            d = _jpeg_sof_dims(payload)
-    else:
-        d = _decode_image_full(payload, fmt)
-    return {"width": d["width"], "height": d["height"], "channels": d["channels"]}
+        return _jpeg_sof_dims(payload)
+    if fmt == "png":
+        return _png_ihdr_dims(payload)
+    if fmt == "gif":
+        records = _gif_frame_records(payload)
+        if not records:
+            raise ValueError("GIF contains no image frame")
+        return {"width": records[0]["w"], "height": records[0]["h"], "channels": 3}
+    raise NotImplementedError(f"no image decoder for format {fmt}")
 
 
 def decode_wav(payload: bytes) -> dict:
@@ -1348,7 +1395,10 @@ def phash64(arr) -> int:
     a few bits; distinct images ~32 bits apart (random-bit expectation)."""
     import numpy as np
 
-    if arr.shape[2] == 3:
+    if arr.shape[2] >= 3:
+        # BT.601 luma from the color channels, alpha ignored (ADVICE r5:
+        # RGBA previously fell through to channel 0 = red only, so RGB
+        # and RGBA re-encodes of one image hashed differently)
         luma = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
     else:
         luma = arr[..., 0].astype(np.float64)
