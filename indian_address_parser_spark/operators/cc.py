@@ -240,7 +240,16 @@ def connected_components(
         # of the first cache fill — measured 16.6 s → 10.1 s warm for
         # er_clusters at sf0.1 by switching to eager. Eager pins each
         # round's result exactly once and every consumer reads the cache.
-        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint(eager=True)
+        # Local checkpoints store SERIALIZED: the loop parks one frame per
+        # round until the cleaner runs, and deserialized caching of those
+        # frames is pure JVM object/GC pressure (bench.py's measured
+        # MEMORY_AND_DISK_SER lesson).
+        if checkpoint_dir:
+            return df.checkpoint(eager=True)
+        from pyspark import StorageLevel
+
+        level = getattr(StorageLevel, "MEMORY_AND_DISK_SER", StorageLevel.MEMORY_AND_DISK)
+        return df.localCheckpoint(eager=True, storageLevel=level)
 
     # Checkpoint the INPUT edge list first: `nodes`, the initial star graph
     # and the final label joins all branch off it. Without this every branch

@@ -126,6 +126,19 @@ SCORE_THRESHOLD = 0.84
 # ---------------------------------------------------------------------------
 
 
+from pyspark import StorageLevel as _SL
+
+_CKPT_LEVEL = getattr(_SL, "MEMORY_AND_DISK_SER", _SL.MEMORY_AND_DISK)
+
+
+# Shared-subtree checkpoints below are EAGER (under AQE a lazy checkpoint
+# materializes every upstream stage at construction anyway and then
+# re-executes the final stage — see operators/cc._truncate) and
+# SERIALIZED (a bench session runs ~25 queries back-to-back, each parking
+# checkpointed frames until driver GC + ContextCleaner release them;
+# deserialized caching of those frames is pure JVM object/GC pressure —
+# the same measured lesson as bench.py's MEMORY_AND_DISK_SER persists).
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -209,7 +222,12 @@ def q_er_candidate_pairs(spark, sf_dir):
 def _scored_pairs(spark, sf_dir) -> DataFrame:
     from indian_address_parser_spark.functions.udfs import jaro_winkler_udf
 
-    b = _blocked(spark, sf_dir)
+    # r6: the self-join otherwise re-executes the normalize-UDF +
+    # field-extraction subtree once per side (guide §2.4); one eager
+    # checkpoint of the 5-column blocked frame shares it.
+    b = _blocked(spark, sf_dir).select(
+        "doc_id", "block_key", "house_no", "street", "city", "pincode"
+    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     cols = ["house_no", "street", "city", "pincode"]
     a = b.select(F.col("doc_id").alias("id_a"), "block_key", *[F.col(c).alias(c + "_a") for c in cols])
     c = b.select(F.col("doc_id").alias("id_b"), F.col("block_key").alias("bk"), *[F.col(c).alias(c + "_b") for c in cols])
@@ -473,7 +491,9 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-def _shingles(spark, sf_dir, k: int = 3, split_scan: bool = True) -> DataFrame:
+def _shingles(
+    spark, sf_dir, k: int = 3, split_scan: bool = True, by_doc: bool = False
+) -> DataFrame:
     """(doc_id, shingle) exploded k-shingles.
 
     ``split_scan`` (r6): the documents table is one small parquet file →
@@ -483,11 +503,16 @@ def _shingles(spark, sf_dir, k: int = 3, split_scan: bool = True) -> DataFrame:
     78 s serial vs 11 s at 32 tasks). One round-robin exchange of the
     5000 (doc_id, words) rows (~1 MB) fans the explode and every partial
     aggregation across the cores (guide §2.5 "input skew: repartition
-    immediately after the read"). Callers that immediately hash-partition
-    by doc_id pass False to keep a single exchange.
+    immediately after the read"). ``by_doc`` hash-partitions the
+    pre-explode rows by doc_id instead — same parallelism, but every
+    doc's shingles land wholly in one task (what the md5 signature
+    kernel needs) while shuffling the compact pre-explode word arrays
+    (~0.5 MB) rather than the exploded shingle stream (~12 MB).
     """
     d = _docs(spark, sf_dir).select("doc_id", F.split(F.col("text"), " ").alias("w"))
-    if split_scan:
+    if by_doc:
+        d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    elif split_scan:
         d = d.repartition(spark.sparkContext.defaultParallelism)
     d = d.withColumn(
         "sh",
@@ -588,9 +613,7 @@ def _minhash_sig_md5_arrow(spark, sf_dir, n_perms: int = N_PERMS) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    sh = _shingles(spark, sf_dir, split_scan=False).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    sh = _shingles(spark, sf_dir, by_doc=True)
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType())]
         + [T.StructField(f"mh{s}", T.StringType()) for s in range(n_perms)]
@@ -642,7 +665,7 @@ def _band_pairs(sig: DataFrame, r: int) -> DataFrame:
     ]
     stacked = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     a = stacked.select(F.col("doc_id").alias("id_a"), "band")
     b = stacked.select(F.col("doc_id").alias("id_b"), F.col("band").alias("bd"))
     return (
@@ -698,12 +721,12 @@ def q_dedup_ngram_jaccard_dfcap(spark, sf_dir):
     evaluations counting the join's two branches). One eager
     localCheckpoint of the exploded rows (and one of ``rare``, consumed
     by both join sides) executes it once (guide §2.4)."""
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
         df_counts.where(F.col("df") <= DF_CAP).select("shingle"), "shingle"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     a = rare.select(F.col("doc_id").alias("id_a"), "shingle")
     b = rare.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh2"))
     inter = (
@@ -782,7 +805,7 @@ def q_dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3):
                 for k in range(4)
             ])
         ).alias("band"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     a = bands.select(
         F.col("doc_id").alias("id_a"), "band",
         *[F.col(f"b{k}").alias(f"b{k}_a") for k in range(4)],
@@ -1090,7 +1113,7 @@ def q_sim_topk_ivf_kmeans(spark, sf_dir, k: int = 3, nprobe: int | None = None):
     # veckernels), so the two array-attach joins are gone and the pair
     # frame carries only 8-byte ids.
     assigned = ivf_assign_cells(spark, e, cents, nprobe).localCheckpoint(
-        eager=True
+        eager=True, storageLevel=_CKPT_LEVEL
     )
     assign = assigned.select(
         F.col("vec_id").alias("id_b"), F.element_at("cells", 1).alias("cell")
@@ -1328,7 +1351,7 @@ def _lsh_band_stacked(spark, sf_dir) -> DataFrame:
                 F.concat_ws(":", F.lit("1"), F.col("band1").cast("string")),
             )
         ).alias("band"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
 
 
 def q_sim_lsh_topk(spark, sf_dir, k: int = 5):
@@ -1923,7 +1946,7 @@ def q_corpus_decontaminate(
     # semi-join probe share ONE evaluation of the eval-side distinct
     # instead of re-running the scan→explode→distinct chain per consumer
     eval_sh = (
-        sh.where(is_eval).select("shingle").distinct().localCheckpoint(eager=True)
+        sh.where(is_eval).select("shingle").distinct().localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     )
     n_eval = eval_sh.count()
     probe = (
