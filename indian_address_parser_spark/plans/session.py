@@ -117,6 +117,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner only unpersists orphaned checkpoint/broadcast
+        # blocks after a JVM GC notices the dropped references — a 32g
+        # heap can run a whole multi-query session without one (default
+        # periodicGC.interval 30min), so storage fills with dead
+        # checkpoint RDDs and late queries degrade (measured: queries at
+        # positions 20+ of a bench session ran 2× their isolated time).
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     # Shuffle/spill scratch. OPT-IN, not a library default (a silent
     # /dev/shm default would fail with ENOSPC/OOM on any consumer whose
