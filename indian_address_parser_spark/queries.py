@@ -211,7 +211,12 @@ def q_er_block_sizes(spark, sf_dir):
 
 
 def q_er_candidate_pairs(spark, sf_dir):
-    b = _blocked(spark, sf_dir)
+    # r6: same §2.4 fix as _scored_pairs — the self-join otherwise runs the
+    # normalize-UDF + field-extraction subtree once per side; checkpoint the
+    # 2-column blocked frame once and let both branches read the cache.
+    b = _blocked(spark, sf_dir).select("doc_id", "block_key").localCheckpoint(
+        eager=True, storageLevel=_CKPT_LEVEL
+    )
     a = b.select(F.col("doc_id").alias("id_a"), "block_key")
     c = b.select(F.col("doc_id").alias("id_b"), F.col("block_key").alias("bk"))
     return a.join(
